@@ -1,0 +1,151 @@
+"""URL canonicalization: RFC 3986 normalize + SURT, urlparse-compatible.
+
+The reference uses bare ``urllib.parse.urlparse`` in four places
+(/root/reference/src/crawler.py:175-179, src/warc_processor.py:354-358,
+examples/bulk_warc_search.py:177-178, test_warc_domains.py:60-64) and keys
+its dedupe sets on the *raw* URL string. The north rule upgrades this to a
+canonical SURT key for the URL-seen structure; this module provides both:
+
+- ``domain``/``schema`` fields reproduce ``urlparse().netloc`` /
+  ``.scheme`` byte-for-byte (netloc KEEPS ``user:pass@host:port`` — note
+  Spark's builtin ``parse_url(url,'HOST')`` does not, hence the UDF; see
+  SURVEY §2.7).
+- ``surt`` is the canonical dedupe key: lowercased host with a single
+  leading ``www.`` stripped and default port dropped, labels reversed and
+  comma-joined, ``)``, then the RFC 3986 dot-segment-normalized path
+  (empty → ``/``), then the query with params sorted; fragment dropped.
+  Deterministic and idempotent (property-tested).
+
+Everything is exposed both as plain-Python (for the oracle) and as one
+Arrow pandas UDF returning a struct (for the Spark path).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+CANON_SCHEMA = T.StructType(
+    [
+        T.StructField("surt", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("domain", T.StringType(), True),  # urlparse().netloc parity
+        T.StructField("schema", T.StringType(), True),  # urlparse().scheme parity
+        T.StructField("path", T.StringType(), True),
+    ]
+)
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ws": 80, "wss": 443, "ftp": 21}
+
+
+def remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments."""
+    output: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if output:
+                output.pop()
+        elif path == "/..":
+            path = "/"
+            if output:
+                output.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            i = path.find("/", 1) if path.startswith("/") else path.find("/")
+            if i == -1:
+                output.append(path)
+                path = ""
+            else:
+                output.append(path[:i])
+                path = path[i:]
+    return "".join(output)
+
+
+def canonicalize_one(url: str | None) -> dict[str, str | None]:
+    """Canonicalize a single URL; None fields on unparseable input."""
+    empty = {"surt": None, "host": None, "domain": None, "schema": None, "path": None}
+    if not url:
+        return empty
+    u = url.strip()
+    if "://" not in u:
+        u = "http://" + u  # seed lists often omit the scheme
+    try:
+        p = urlparse(u)
+    except ValueError:
+        return empty
+    host = (p.hostname or "").lower()
+    if not host:
+        return empty
+    scheme = (p.scheme or "http").lower()
+    surt_host = host[4:] if host.startswith("www.") and host.count(".") >= 2 else host
+    port = None
+    try:
+        port = p.port
+    except ValueError:
+        port = None
+    port_part = (
+        f":{port}" if port is not None and port != _DEFAULT_PORTS.get(scheme) else ""
+    )
+    path = remove_dot_segments(p.path) or "/"
+    query = ""
+    if p.query:
+        parts = sorted(q for q in p.query.split("&") if q)
+        if parts:
+            query = "?" + "&".join(parts)
+    surt = ",".join(reversed(surt_host.split("."))) + port_part + ")" + path + query
+    return {
+        "surt": surt,
+        "host": host,
+        "domain": p.netloc,  # byte-parity with reference's urlparse().netloc
+        "schema": p.scheme,  # byte-parity with reference's urlparse().scheme
+        "path": path,
+    }
+
+
+@pandas_udf(CANON_SCHEMA)
+def canonicalize_udf(urls: pd.Series) -> pd.DataFrame:
+    """Arrow-batched canonicalizer: url → struct<surt,host,domain,schema,path>."""
+    rows = [canonicalize_one(u) for u in urls]
+    return pd.DataFrame(rows, columns=["surt", "host", "domain", "schema", "path"])
+
+
+def with_canonical(df, url_col: str = "url", out_col: str = "canon"):
+    """Attach the canonical struct to a DataFrame."""
+    return df.withColumn(out_col, canonicalize_udf(F.col(url_col)))
+
+
+# ---- built-in (JVM-side) expression builders for the aggregation queries ----
+
+
+def tld(domain: Column) -> Column:
+    """Last dot-separated label (reference examples/find_all_nextjs.py:68-71)."""
+    return F.element_at(F.split(domain, r"\."), -1)
+
+
+def is_subdomain(domain: Column) -> Column:
+    """domain.count('.') > 1 (reference examples/find_all_nextjs.py:82-84)."""
+    return F.size(F.split(domain, r"\.")) > 2
+
+
+def host_bucket(surt_or_host: Column, num_buckets: int) -> Column:
+    """Stable partition bucket for a host/SURT key: pmod(xxhash64(k), N).
+
+    This is the partitioning key of the url_seen / frontier tables — the
+    local-parquet analog of Iceberg's ``bucket(N, host)`` transform.
+    """
+    return F.pmod(F.xxhash64(surt_or_host), F.lit(num_buckets)).cast("int")

@@ -1,0 +1,14 @@
+"""Shared fixtures: one SparkSession per test session."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="crawler_spark-tests", cores=4, shuffle_partitions=4)
+    yield s
+    s.stop()
