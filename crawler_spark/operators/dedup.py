@@ -1,0 +1,74 @@
+"""Dedupe operators — the reference's three membership policies, Spark-first.
+
+Reference semantics (SURVEY §2.4):
+- global URL-seen (src/crawler.py:54-55,181-186): drop a row if its URL was
+  ever emitted → Bloom-prefiltered exact anti-join against ``url_seen``;
+- per-WARC (src/warc_processor.py:345-361): duplicates allowed across WARCs,
+  first record wins within one → partition-local window;
+- domain-first-wins (examples/bulk_warc_search.py:178-188): one result per
+  domain, earliest wins → window over domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.config import DEFAULT, EngineConfig
+from crawler_spark.operators.bloom import probe_blooms
+
+
+def first_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Deterministic first-wins dedupe (the order-sensitive analog of the
+    reference's 'if url not in seen: seen.add(url)' insertion order)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    blooms: DataFrame | None = None,
+    key_col: str = "surt",
+    cfg: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """Rows of ``candidates`` whose key is NOT in ``seen`` — exactly.
+
+    With blooms: probe first; Bloom-negative rows are provably unseen and
+    bypass the anti-join (at a 10^10-row seen table this is the difference
+    between shuffling the whole frontier and shuffling only the ~few %% of
+    Bloom positives). Bloom-positive rows are confirmed exactly, so false
+    positives never drop a URL.
+
+    ``seen`` must expose ``key_col``; candidates carrying a null key are
+    dropped (unparseable URLs can never be scheduled).
+    """
+    cand = candidates.where(F.col(key_col).isNotNull())
+    if seen is None:
+        return cand
+    seen_keys = seen.select(key_col)
+    if blooms is None:
+        return cand.join(seen_keys, key_col, "left_anti")
+    probed = probe_blooms(cand, blooms, key_col, cfg)
+    definitely_new = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = probed.where(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = maybe.join(seen_keys, key_col, "left_anti")
+    return definitely_new.unionByName(confirmed_new)
+
+
+def dedupe_per_warc(results: DataFrame) -> DataFrame:
+    """EP2 policy: first record wins within (warc_source, url)."""
+    return first_wins(results, ["warc_source", "url"], [F.col("warc_offset").asc()])
+
+
+def dedupe_domain_first_wins(results: DataFrame, order: list[Column]) -> DataFrame:
+    """EP3 policy: one row per domain, earliest by ``order`` wins."""
+    return first_wins(results, ["domain"], order)
+
+
+def merge_runs(a: DataFrame, b: DataFrame, key: str = "domain") -> DataFrame:
+    """Result merge across runs — the documented jq recipe
+    ``jq -s 'add | unique_by(.domain)'`` (reference COMPARISON.md:270-274)."""
+    return a.unionByName(b, allowMissingColumns=True).dropDuplicates([key])

@@ -1,0 +1,78 @@
+"""Robots gating (north-rule component; no reference counterpart —
+the reference only crawls Common Crawl's own servers).
+
+Candidates carry (host, path); the robots table is one row per host:
+(host, disallow_prefixes array<string>, crawl_delay double). The gate is
+a join + an ``exists`` over the prefix array — all JVM-side.
+
+Scale: the robots table is one row per *host* (~10^7-10^8 rows at CC scale
+— small next to a 10^10 frontier). It broadcasts when it fits, else the
+join shuffles on host, which the politeness window reuses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class GateResult:
+    allowed: DataFrame
+    blocked: DataFrame
+
+
+def gate(
+    candidates: DataFrame,
+    robots: DataFrame | None,
+    host_col: str = "host",
+    path_col: str = "path",
+    broadcast: bool = True,
+) -> GateResult:
+    """Split candidates by robots rules; unknown hosts are allowed.
+
+    The blocked side keeps a ``block_reason`` column for the failures
+    table (lineage: which rule family dropped the row).
+    """
+    if robots is None:
+        return GateResult(candidates, candidates.limit(0).withColumn("block_reason", F.lit("")))
+    r = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("disallow_prefixes").alias("_r_prefixes"),
+        F.col("crawl_delay").alias("crawl_delay"),
+    )
+    if broadcast:
+        r = F.broadcast(r)
+    joined = candidates.join(r, F.col(host_col) == F.col("_r_host"), "left")
+    is_blocked = F.coalesce(
+        F.exists(
+            F.col("_r_prefixes"),
+            lambda p: F.col(path_col).startswith(p),
+        ),
+        F.lit(False),
+    )
+    joined = joined.withColumn("_blocked", is_blocked)
+    allowed = joined.where(~F.col("_blocked")).drop("_r_host", "_r_prefixes", "_blocked")
+    blocked = (
+        joined.where(F.col("_blocked"))
+        .drop("_r_host", "_r_prefixes", "_blocked", "crawl_delay")
+        .withColumn("block_reason", F.lit("robots_disallow"))
+    )
+    return GateResult(allowed=allowed, blocked=blocked)
+
+
+def budget_from_crawl_delay(df: DataFrame, round_duration_s: float, default_budget: int) -> DataFrame:
+    """Derive a per-host budget column from robots crawl_delay:
+    at most round_duration/delay fetches per round (≥1), else default."""
+    return df.withColumn(
+        "host_budget",
+        F.when(
+            F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(round_duration_s) / F.col("crawl_delay")).cast("int"),
+            ),
+        ).otherwise(F.lit(default_budget)),
+    )

@@ -77,14 +77,18 @@ class SnapshotStore:
         df: DataFrame,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        append: bool = False,
     ) -> int:
         """Write df as the table's next version; returns the version number.
 
-        The parquet write completes fully before the manifest swap — a
-        failure mid-write leaves the previous version current.
+        append=True emulates an Iceberg append snapshot: the new version's
+        segment list = previous version's segments + the new delta dir, so
+        only the delta is written (no rewrite of a 10^10-row seen table per
+        round). The parquet write completes fully before the manifest swap —
+        a failure mid-write leaves the previous version current.
         """
         m = self._read_manifest(table)
-        next_v = (m["current"] or 0) + 1 if m["current"] is not None else 1
+        next_v = 1
         if m["versions"]:
             next_v = max(v["version"] for v in m["versions"]) + 1
         vdir = os.path.join(self._tdir(table), f"v{next_v:05d}")
@@ -92,8 +96,17 @@ class SnapshotStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(vdir)
+        segments = [vdir]
+        if append and m["current"] is not None:
+            prev = next(e for e in m["versions"] if e["version"] == m["current"])
+            segments = prev.get("segments", [prev["path"]]) + [vdir]
         m["versions"].append(
-            {"version": next_v, "path": vdir, "meta": {**(meta or {}), "ts": time.time()}}
+            {
+                "version": next_v,
+                "path": vdir,
+                "segments": segments,
+                "meta": {**(meta or {}), "ts": time.time()},
+            }
         )
         m["current"] = next_v
         self._commit_manifest(table, m)
@@ -106,8 +119,39 @@ class SnapshotStore:
             raise FileNotFoundError(f"table {table!r} has no committed version")
         for entry in m["versions"]:
             if entry["version"] == v:
-                return spark.read.parquet(entry["path"])
+                return spark.read.parquet(*entry.get("segments", [entry["path"]]))
         raise FileNotFoundError(f"table {table!r} version {v} not found")
+
+    # ------------------------------------------------------- round state --
+    # Atomic multi-table commit marker: a BFS round is durable only once
+    # state.json points at the versions it wrote. On resume, tables are
+    # rolled back to the last recorded state — a crash between table writes
+    # and the state swap discards the partial round (snapshot isolation).
+
+    def _state_path(self) -> str:
+        return os.path.join(self.root, "state.json")
+
+    def commit_state(self, state: dict) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self._state_path())
+
+    def read_state(self) -> dict | None:
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def restore_state(self) -> dict | None:
+        """Roll every table back to the last committed state (resume)."""
+        state = self.read_state()
+        if state:
+            for table, version in state.get("tables", {}).items():
+                if self.current_version(table) != version:
+                    self.rollback(table, version)
+        return state
 
     def rollback(self, table: str, version: int) -> None:
         """Make an older version current (Iceberg rollback_to_snapshot analog)."""

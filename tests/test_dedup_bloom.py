@@ -1,0 +1,89 @@
+"""URL-seen: Bloom prefilter + exact anti-join — set-exactness guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.config import EngineConfig
+from crawler_spark.operators.bloom import build_blooms, probe_blooms
+from crawler_spark.operators.dedup import (
+    dedupe_domain_first_wins,
+    filter_unseen,
+    first_wins,
+    merge_runs,
+)
+
+CFG = EngineConfig(num_host_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def seen(spark):
+    df = spark.range(0, 5000).select(
+        F.concat(F.lit("com,site"), F.col("id"), F.lit(")/p")).alias("surt")
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.spark
+def test_bloom_no_false_negatives(spark, seen):
+    """Every seen key must probe positive — Bloom filters never lie 'new'."""
+    blooms = build_blooms(seen, cfg=CFG)
+    probed = probe_blooms(seen, blooms, cfg=CFG)
+    assert probed.where(~F.col("_maybe_seen")).count() == 0
+
+
+@pytest.mark.spark
+def test_bloom_fp_rate_reasonable(spark, seen):
+    blooms = build_blooms(seen, cfg=CFG)
+    fresh = spark.range(100000, 103000).select(
+        F.concat(F.lit("com,site"), F.col("id"), F.lit(")/p")).alias("surt")
+    )
+    fp = probe_blooms(fresh, blooms, cfg=CFG).where(F.col("_maybe_seen")).count()
+    # 10 bits/key, 6 hashes → theoretical fp ~1%; allow slack
+    assert fp / 3000 < 0.05
+
+
+@pytest.mark.spark
+def test_filter_unseen_exact_with_and_without_bloom(spark, seen):
+    """Bloom path and plain anti-join path return identical sets —
+    false positives are always confirmed away."""
+    cand = spark.range(4000, 7000).select(
+        F.concat(F.lit("com,site"), F.col("id"), F.lit(")/p")).alias("surt")
+    )
+    blooms = build_blooms(seen, cfg=CFG)
+    with_bloom = {r["surt"] for r in filter_unseen(cand, seen, blooms, cfg=CFG).collect()}
+    plain = {r["surt"] for r in filter_unseen(cand, seen, None).collect()}
+    expect = {f"com,site{i})/p" for i in range(5000, 7000)}
+    assert with_bloom == plain == expect
+
+
+@pytest.mark.spark
+def test_filter_unseen_drops_null_keys(spark, seen):
+    cand = spark.createDataFrame([("com,x)/a",), (None,)], "surt string")
+    assert filter_unseen(cand, seen, None).count() == 1
+
+
+@pytest.mark.spark
+def test_first_wins_deterministic(spark):
+    rows = [("a", "u1", 3), ("a", "u1", 1), ("a", "u1", 2), ("b", "u2", 9)]
+    df = spark.createDataFrame(rows, "warc_source string, url string, warc_offset int")
+    got = first_wins(df, ["warc_source", "url"], [F.col("warc_offset").asc()]).collect()
+    assert {(r["url"], r["warc_offset"]) for r in got} == {("u1", 1), ("u2", 9)}
+
+
+@pytest.mark.spark
+def test_domain_first_wins(spark):
+    rows = [("d1", "u1", 1), ("d1", "u2", 2), ("d2", "u3", 5)]
+    df = spark.createDataFrame(rows, "domain string, url string, ord int")
+    got = dedupe_domain_first_wins(df, [F.col("ord").asc()]).collect()
+    assert {r["url"] for r in got} == {"u1", "u3"}
+
+
+@pytest.mark.spark
+def test_merge_runs(spark):
+    a = spark.createDataFrame([("d1", "u1")], "domain string, url string")
+    b = spark.createDataFrame([("d1", "u9"), ("d2", "u2")], "domain string, url string")
+    assert merge_runs(a, b).count() == 2
