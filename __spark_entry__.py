@@ -1,38 +1,449 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship classification plan (SURVEY.md §3 EP2,
+reference /root/reference/src/warc_processor.py:283-380) over pages
+synthesized from the sf0.001 ``documents`` testdata.
+
+``queries()`` maps every SQL-verifiable operator from SURVEY.md §2 plus
+the training-data-pipeline tier (dedup / similarity / text analysis)
+onto the driver's testdata tables; ``oracle_sql()`` returns the DuckDB
+twin of each, generated from shared constants in
+crawler_spark/oracle/sqlgen.py so the two sides cannot drift.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import textstats as TS
+from crawler_spark.operators import similarity as SIM
+from crawler_spark.operators import textdedup as TD
+from crawler_spark.oracle import sqlgen as SG
+from crawler_spark.plans.docpages import pages_from_documents
+from crawler_spark.plans.flagship import classify_bulk
+
+TOPK_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------ flagship --
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth pages from sf0.001 documents → EP2 classification."""
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    return classify_bulk(pages_from_documents(docs), min_confidence="medium")
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    res = classify_bulk(pages_from_documents(docs), min_confidence="medium")
+    # scalar projection for the value-hash (indicators array stays
+    # engine-side; its content is pytest-verified against the oracle module)
+    return res.select("domain", "url", "schema", "confidence", "build_id", "warc_source")
+
+
+# ------------------------------------------- relational (SURVEY §2.3-2.6) --
+
+
+def _q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1 shape: the reference's stats rollup generalized
+    (src/warc_processor.py:507-531 counters → grouped aggregates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_time_range(spark, sf_dir):
+    """Time-range predicate + month rollup (CDX from/to bounds,
+    reference src/cdx/client.py:98-101)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & (F.col("o_orderstatus") == "F")
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def _q_topk_users(spark, sf_dir):
+    """Top-k frequency (reference test_warc_domains.py:88-91)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def _q_first_event_per_user(spark, sf_dir):
+    """First-wins dedupe (domain-first-wins,
+    reference examples/bulk_warc_search.py:178-188)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+def _q_headk_per_group(spark, sf_dir):
+    """Per-group head-k sample (the 10 MB WARC head sample recast,
+    reference src/warc_processor.py:179-181)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this testdata — the
+    # order-by must be a total order for cross-engine determinism
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_shipdate", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def _q_anti_join_unseen(spark, sf_dir):
+    """Left anti-join — the URL-seen membership check
+    (reference src/crawler.py:181-186)."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events").select(F.col("user_id").alias("c_custkey")).distinct()
+    return (
+        c.join(e, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_unseen"))
+    )
+
+
+def _q_broadcast_join(spark, sf_dir):
+    """Fetch-join against a small dim, broadcast (SURVEY §2.1 WARC record
+    fetch ≈ join R2→pages)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _q_failure_rollup(spark, sf_dir):
+    """Failure-by-reason rollup (reference src/utils/retry_handler.py:156-173)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+def _q_distinct_counts(spark, sf_dir):
+    """Global distinct-count stats sets (reference src/warc_processor.py:101-108)."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def _q_avg_per_group(spark, sf_dir):
+    """Two-level aggregate: mean per-WARC distinct domains
+    (reference test_warc_domains.py:130-137)."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.countDistinct("event_type").alias("n_types"))
+    return per.agg(
+        F.round(F.avg("n_types"), 4).alias("avg_types"),
+        F.max("n_types").alias("max_types"),
+        F.min("n_types").alias("min_types"),
+    )
+
+
+def _q_merge_runs(spark, sf_dir):
+    """Cross-run result merge + unique-by-key
+    (reference COMPARISON.md:270-274 `jq -s 'add | unique_by(.domain)'`)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b = o.where(F.col("o_totalprice") > 400000)
+    u = a.unionByName(b)
+    return u.agg(
+        F.count("*").alias("n_rows"), F.countDistinct("o_orderkey").alias("n_keys")
+    )
+
+
+def _q_politeness_budget(spark, sf_dir):
+    """Per-host politeness budget window: ≤B rows per host per round
+    (token bucket recast, reference src/utils/rate_limiter.py:11-78);
+    'host' = documents.source."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+def _q_segment_histogram(spark, sf_dir):
+    """Histogram sorted desc (reference examples/find_all_nextjs.py:63-80)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+
+
+def _q_content_sniff(spark, sf_dir):
+    """Content-sniff predicate shape: substring probe on the body
+    (reference src/warc_processor.py:266-271)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.instr(F.substring("text", 1, 200), "table") > 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+# ------------------------------------------------ text analysis / dedup --
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return TD.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        TS.word_count(F.col("text")).alias("n_words"),
+        TS.bpe_token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
+def _q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = TS.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["awl_c"].alias("awl_c"),
+        feats["stop_pm"].alias("stop_pm"),
+        feats["quality_score_pm"].alias("quality_score_pm"),
+        feats["quality_bucket"].alias("quality_bucket"),
+    )
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.where(TS.word_count(F.col("text")) >= TS.FINGERPRINT_NGRAM).select(
+        "doc_id",
+        TS.fingerprint(F.col("text")).alias("fingerprint"),
+        TS.content_md5(F.col("text")).alias("content_md5"),
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return TD.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_minhash_signatures(spark, sf_dir):
+    return TD.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return TD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_simhash(spark, sf_dir):
+    return TD.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------ similarity --
+
+
+def _q_cosine_topk(spark, sf_dir):
+    return SIM.cosine_topk(_t(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS)
+
+
+def _q_cosine_neardup(spark, sf_dir):
+    return SIM.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_centroids(spark, sf_dir):
+    return SIM.centroids(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return SIM.lsh_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------- rows-only engine demos --
+
+
+def _q_corpus_classify(spark, sf_dir):
+    """Full crawl-corpus flagship on the synthetic generator (rows-only:
+    gzip/charset decode + detector are non-SQL; pytest oracles them)."""
+    from crawler_spark.sources.corpus import generate_pages
+
+    pages = generate_pages(spark, 4_000, partitions=8)
+    res = classify_bulk(pages, min_confidence="medium")
+    return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_classify": _q_flagship,
+        "pricing_summary": _q_pricing_summary,
+        "time_range_rollup": _q_time_range,
+        "topk_heavy_users": _q_topk_users,
+        "first_event_per_user": _q_first_event_per_user,
+        "headk_per_group": _q_headk_per_group,
+        "anti_join_unseen": _q_anti_join_unseen,
+        "broadcast_join_parts": _q_broadcast_join,
+        "failure_rollup": _q_failure_rollup,
+        "distinct_counts": _q_distinct_counts,
+        "avg_per_group": _q_avg_per_group,
+        "merge_runs": _q_merge_runs,
+        "politeness_budget": _q_politeness_budget,
+        "segment_histogram": _q_segment_histogram,
+        "content_sniff": _q_content_sniff,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_fingerprint,
+        "ngram_jaccard_neardups": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_lsh_candidates": _q_minhash_lsh,
+        "simhash_fingerprints": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "cosine_neardup_pairs": _q_cosine_neardup,
+        "embedding_centroids": _q_centroids,
+        "ann_lsh_neardups": _q_ann_lsh,
+        "corpus_classify": _q_corpus_classify,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_classify": SG.sql_flagship(),
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus""",
+        "time_range_rollup": """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_orderstatus = 'F'
+GROUP BY 1""",
+        "topk_heavy_users": """
+SELECT user_id, count(*) AS n FROM events
+GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10""",
+        "first_event_per_user": """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1""",
+        "headk_per_group": """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_shipdate, l_linenumber,
+                                        l_partkey, l_suppkey, l_quantity) AS rn
+  FROM lineitem
+) WHERE rn <= 2""",
+        "anti_join_unseen": """
+SELECT c_mktsegment, count(*) AS n_unseen FROM customer
+WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+GROUP BY c_mktsegment""",
+        "broadcast_join_parts": """
+SELECT p_brand, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 5 GROUP BY p_brand""",
+        "failure_rollup": """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value,
+       round(max(value), 4) AS max_value
+FROM events GROUP BY event_type""",
+        "distinct_counts": """
+SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types
+FROM events""",
+        "avg_per_group": """
+SELECT round(avg(n_types), 4) AS avg_types,
+       max(n_types) AS max_types, min(n_types) AS min_types
+FROM (SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id)""",
+        "merge_runs": """
+SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys FROM (
+  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT * FROM orders WHERE o_totalprice > 400000
+)""",
+        "politeness_budget": """
+SELECT source, doc_id, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 5""",
+        "segment_histogram": """
+SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment""",
+        "content_sniff": """
+SELECT source, count(*) AS n_hits FROM documents
+WHERE strpos(substr(text, 1, 200), 'table') > 0
+GROUP BY source""",
+        "dedup_exact": SG.sql_dedup_exact(),
+        "token_stats": SG.sql_token_stats(),
+        "quality_score": SG.sql_quality(),
+        "lang_id": SG.sql_lang_id(),
+        "doc_fingerprint": SG.sql_fingerprint(),
+        "ngram_jaccard_neardups": SG.sql_ngram_jaccard(),
+        "minhash_signatures": SG.sql_minhash_signatures(),
+        "minhash_lsh_candidates": SG.sql_minhash_lsh_pairs(),
+        "simhash_fingerprints": SG.sql_simhash(),
+        "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
+        "cosine_neardup_pairs": SG.sql_cosine_neardup(),
+        "embedding_centroids": SG.sql_centroids(),
+        "ann_lsh_neardups": SG.sql_ann_lsh(),
+        # corpus_classify: non-SQL (gzip/charset decode + Arrow detector)
+        # → rows-only check; pytest oracles it row-by-row.
+    }

@@ -1,0 +1,172 @@
+"""Embedding similarity search (brute-force + LSH-bucketed ANN).
+
+Cosine math is pure higher-order-function column algebra over
+``array<float>`` — ``zip_with``/``aggregate`` run JVM-side with a strict
+left-to-right fold, which is what makes the DuckDB oracle able to
+reproduce the doubles bit-for-bit (same cast-to-double, same fold order).
+
+Scale notes (10^9 vectors):
+- brute-force top-k is the correctness baseline: broadcast the (small)
+  query set, one pass over the corpus, per-query top-k via window. Cost
+  O(queries × corpus) — fine for ≤10^3 queries over any corpus size
+  because it stays a single scan with map-side work.
+- the scale path is sign-hyperplane LSH (random-projection SimHash):
+  bucket = sign bits of ⟨v, p_j⟩ for NUM_PLANES deterministic ±1 planes.
+  Bucketing is a per-row projection; candidate generation is an
+  equi-join on the bucket id (shuffle keyed on an 8-bit-ish value →
+  salt-friendly), exact cosine re-ranks only within buckets. Recall is
+  tunable via planes/probes; an IVF variant would swap the bucket fn for
+  a k-means assignment with the same join shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared knobs — sqlgen imports these.
+TOPK_K = 3
+NEARDUP_COSINE = 0.3
+NUM_PLANES = 8
+EMBED_DIM = 64
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a strict sequential double fold (oracle-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = TOPK_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for the given query ids.
+
+    The query side is broadcast (tiny) → no shuffle on the corpus scan;
+    the only shuffle is the per-query top-k window over |queries|·|corpus|
+    scored rows, which AQE coalesces."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("_rn").alias("rank"))
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, O(n²) — the oracle
+    baseline; use :func:`lsh_neardup_pairs` at scale)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+# ----------------------------------------------------- deterministic planes --
+
+
+def hyperplanes(num_planes: int = NUM_PLANES, dim: int = EMBED_DIM) -> list[list[int]]:
+    """±1 hyperplanes derived from md5(plane:dim) — deterministic,
+    embeddable as literals in both the Spark plan and the oracle SQL."""
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{j}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    vec: Column, num_planes: int = NUM_PLANES, dim: int = EMBED_DIM
+) -> Column:
+    """Sign-bit bucket id in [0, 2^num_planes)."""
+    planes = hyperplanes(num_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(v)) for v in p])
+        d = dot(vec, plane_col)
+        bucket = bucket + F.when(
+            d >= 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    num_planes: int = NUM_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-dup pairs: candidates = same LSH bucket, then exact cosine
+    re-rank. Approximate (bucket boundaries cost recall) but linear-ish:
+    the join is keyed on the bucket id instead of all-pairs."""
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), num_planes).alias("bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def centroids(emb: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """Per-label centroid norm (IVF seed shape): mean of each dimension,
+    reported as the rounded L2 norm (scalar — oracle-hashable)."""
+    dim_cols = [
+        F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")).alias(f"d{d}")
+        for d in range(EMBED_DIM)
+    ]
+    agg = emb.groupBy(label_col).agg(*dim_cols, F.count("*").alias("n_vecs"))
+    sq = F.lit(0.0)
+    for d in range(EMBED_DIM):
+        sq = sq + F.col(f"d{d}") * F.col(f"d{d}")
+    return agg.select(
+        label_col, F.col("n_vecs"), F.round(F.sqrt(sq), 4).alias("centroid_norm")
+    )

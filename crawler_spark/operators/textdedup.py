@@ -1,0 +1,193 @@
+"""Document deduplication for the training-data pipeline tier.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, and SimHash —
+all as compositions of built-in DataFrame ops (JVM-side; the only Python
+is plan construction). Each has a bit-identical ANSI-SQL twin in
+:mod:`crawler_spark.oracle.sqlgen` for the DuckDB oracle gate.
+
+Scale notes (100 TB / 10^10 docs):
+- exact dedup: one hash-shuffle on a 16-byte key; first-wins is a
+  partial-agg-friendly ``min_by`` shape, not a window over raw rows.
+- Jaccard/MinHash explode shingles → the shuffle is O(total shingles).
+  The all-pairs-sharing-a-shingle join is quadratic in posting-list
+  length, so at scale you MUST prune hot shingles (a stopword shingle
+  shared by 10^8 docs is useless for dedup anyway): `max_shingle_freq`
+  caps posting lists, turning the worst case into bounded skew. This is
+  the same skew discipline as the frontier's mega-host salting.
+- MinHash+LSH is the scale path (linear in docs, band-bucket join
+  instead of all-pairs); Jaccard verification then runs only on LSH
+  candidates.
+- SimHash is a pure per-row projection + one groupBy — cheapest of all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.texthash import h64, h64_seeded
+from crawler_spark.functions.textstats import content_md5, word_ngrams
+
+# Shared knobs — sqlgen imports these.
+NGRAM_N = 3
+JACCARD_THRESHOLD = 0.5
+MINHASH_HASHES = 8
+LSH_BANDS = 4  # rows per band = MINHASH_HASHES // LSH_BANDS = 2
+SIMHASH_BITS = 32
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup, first-wins by lowest id per content hash.
+
+    ``min_by`` aggregates map-side (partial agg) — at 10^10 rows this
+    beats a row_number window, which must materialize every row of each
+    group on one partition before ranking."""
+    return (
+        df.select(F.col(id_col), content_md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "content_md5")
+    )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N
+) -> DataFrame:
+    """(id, ngram) distinct pairs — the posting-list relation."""
+    return df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("ng")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    threshold: float = JACCARD_THRESHOLD,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) over word n-grams.
+
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed from one self-equi-join on
+    the shingle. ``max_shingle_freq`` drops shingles whose posting list
+    exceeds the cap (mandatory at scale; None = exact, used by the oracle
+    gate at small SF)."""
+    gd = distinct_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = gd.groupBy("ng").count().where(F.col("count") > max_shingle_freq).select("ng")
+        gd = gd.join(F.broadcast(hot), "ng", "left_anti")
+    sizes = gd.groupBy(id_col).agg(F.count("*").alias("n_ng"))
+    a = gd.select(F.col(id_col).alias("id_a"), "ng")
+    b = gd.select(F.col(id_col).alias("id_b"), "ng")
+    common = (
+        a.join(b, "ng")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_ng").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_ng").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    num_hashes: int = MINHASH_HASHES,
+) -> DataFrame:
+    """Per-doc MinHash signature as columns mh0..mh{k-1}.
+
+    One explode + one groupBy with k ``min`` aggregates — all partial-agg
+    (map-side combine), single shuffle keyed on the doc id."""
+    gd = distinct_shingles(df, id_col, text_col, n)
+    aggs = [F.min(h64_seeded(F.col("ng"), j)).alias(f"mh{j}") for j in range(num_hashes)]
+    return gd.groupBy(id_col).agg(*aggs)
+
+
+def band_key(sig_cols: list[Column]) -> Column:
+    """Hash of one band's minhash rows (concatenated with '_')."""
+    parts: list[Column] = []
+    for i, c in enumerate(sig_cols):
+        if i:
+            parts.append(F.lit("_"))
+        parts.append(c.cast("string"))
+    return h64(F.concat(*parts))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Linear scan → band table (bands·docs rows) → self-join on
+    (band_idx, band_hash). This is the 10^10-scale dedup path; feed the
+    output through :func:`ngram_jaccard_pairs` semantics (or exact
+    verification) to confirm."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_frames.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                band_key(cols).alias("band_hash"),
+            )
+        )
+    bt = band_frames[0]
+    for f in band_frames[1:]:
+        bt = bt.unionByName(f)
+    a = bt.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b2 = bt.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b2, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (token-occurrence weighted).
+
+    Explode tokens → h64 → per-bit ±1 sums → fingerprint. The groupBy
+    carries `bits` partial-agg sums; no window, no Python."""
+    tokens = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", h64(F.col("tok")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"b{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,298 @@
+"""DuckDB oracle SQL for every driver-checked query.
+
+Single source of truth for ``__spark_entry__.oracle_sql()``. Each
+generator mirrors one Spark plan in ``__spark_entry__.queries()`` and is
+derived from the SAME constants (hash spec, thresholds, marker lists,
+hyperplanes), so the two sides cannot drift independently.
+
+Portability contract (verified bit-exact in tests/test_entry_parity.py):
+- h64: md5-prefix hash — identical in both engines (texthash.sql_h64);
+- doubles: every float expression is either a single deterministic
+  expression tree (same IEEE ops, same order → bit-equal) or an
+  order-insensitive aggregate rounded to ≤4 dp;
+- splits: corpus text is single-space-delimited → split/string_split
+  agree; n-gram windows use the same (start, width) arithmetic.
+"""
+
+from __future__ import annotations
+
+from crawler_spark.functions.texthash import sql_h64, sql_h64_seeded
+from crawler_spark.functions.textstats import (
+    FINGERPRINT_NGRAM,
+    LANG_MARKERS,
+    STOPWORDS,
+    TOKEN_REGEX,
+)
+from crawler_spark.operators.similarity import (
+    EMBED_DIM,
+    NEARDUP_COSINE,
+    NUM_PLANES,
+    TOPK_K,
+    hyperplanes,
+)
+from crawler_spark.operators.textdedup import (
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    MINHASH_HASHES,
+    NGRAM_N,
+    SIMHASH_BITS,
+)
+
+# --------------------------------------------------------- text building --
+
+
+def _occ(word: str, text: str = "text") -> str:
+    needle = f" {word} "
+    padded = f"(' ' || {text} || ' ')"
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS BIGINT)"
+    )
+
+
+def _ngrams_cte(n: int) -> str:
+    """CTEs d(words) + gd(distinct doc_id, ngram)."""
+    return f"""
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+gd AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS ng
+  FROM d WHERE len(w) >= {n}
+)"""
+
+
+def _minhash_sig_cte(n: int, k: int) -> str:
+    mins = ",\n         ".join(
+        f"min({sql_h64_seeded('ng', j)}) AS mh{j}" for j in range(k)
+    )
+    return f"""
+WITH {_ngrams_cte(n)},
+sig AS (SELECT doc_id, {mins} FROM gd GROUP BY doc_id)"""
+
+
+def sql_dedup_exact() -> str:
+    return """
+SELECT min(doc_id) AS doc_id, md5(text) AS content_md5
+FROM documents GROUP BY md5(text)"""
+
+
+def sql_token_stats() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n_tokens
+FROM documents"""
+
+
+def sql_quality() -> str:
+    stop = " + ".join(_occ(w) for w in STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         ({stop}) AS n_stop
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, n_words, n_stop,
+         CAST(floor((n_chars - n_words + 1) * 100 / n_words) AS BIGINT) AS awl_c,
+         CAST(floor(n_stop * 1000 / n_words) AS BIGINT) AS stop_pm
+  FROM f
+), s AS (
+  SELECT *, CAST(least(n_words * 4, 400)
+                 + least(CAST(floor(n_stop * 2000 / n_words) AS BIGINT), 400)
+                 + least(CAST(floor(awl_c / 4) AS BIGINT), 200) AS BIGINT)
+              AS quality_score_pm
+  FROM g
+)
+SELECT doc_id, n_words, awl_c, stop_pm, quality_score_pm,
+       CASE WHEN quality_score_pm >= 700 THEN 'high'
+            WHEN quality_score_pm >= 400 THEN 'medium'
+            ELSE 'low' END AS quality_bucket
+FROM s"""
+
+
+def sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        s = " + ".join(_occ(w) for w in LANG_MARKERS[lang])
+        score_exprs.append(f"({s}) AS s_{lang}")
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    chain = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    return f"""
+WITH sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM documents),
+b AS (SELECT *, {best} AS best FROM sc)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' ELSE (CASE {chain} ELSE 'und' END) END
+         AS lang_guess
+FROM b"""
+
+
+def sql_fingerprint() -> str:
+    n = FINGERPRINT_NGRAM
+    return f"""
+WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       list_min(list_transform(
+         list_transform(range(1, len(w) - {n - 2}),
+                        i -> array_to_string(w[i:i+{n - 1}], ' ')),
+         ng -> {sql_h64('ng')})) AS fingerprint,
+       md5(text) AS content_md5
+FROM d WHERE len(w) >= {n}"""
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH {_ngrams_cte(NGRAM_N)},
+sz AS (SELECT doc_id, count(*) AS n_ng FROM gd GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM gd a JOIN gd b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_ng + sb.n_ng - n_common), 4) AS jaccard
+FROM pairs
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.n_ng + sb.n_ng - n_common), 4) >= {JACCARD_THRESHOLD}"""
+
+
+def sql_minhash_signatures() -> str:
+    cols = ", ".join(f"mh{j}" for j in range(MINHASH_HASHES))
+    return f"{_minhash_sig_cte(NGRAM_N, MINHASH_HASHES)}\nSELECT doc_id, {cols} FROM sig"
+
+
+def sql_minhash_lsh_pairs() -> str:
+    rows = MINHASH_HASHES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        concat = " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""{_minhash_sig_cte(NGRAM_N, MINHASH_HASHES)},
+bt AS ({bands_union})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bt a JOIN bt b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id"""
+
+
+def sql_simhash() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} >= 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {sql_h64('tok')} AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits"""
+
+
+# ------------------------------------------------------------- embeddings --
+
+
+def _sql_dot(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_cosine(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    return (
+        f"({_sql_dot(a, b, dim)} / "
+        f"sqrt(({_sql_dot(a, a, dim)}) * ({_sql_dot(b, b, dim)})))"
+    )
+
+
+def sql_cosine_topk(query_ids: list[int], k: int = TOPK_K) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = _sql_cosine("q.embedding", "e.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, round({cos}, 4) AS cos_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def sql_cosine_neardup(threshold: float = NEARDUP_COSINE) -> str:
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {threshold}"""
+
+
+def sql_centroids() -> str:
+    dims = ",\n         ".join(
+        f"avg(CAST(embedding[{d + 1}] AS DOUBLE)) AS d{d}" for d in range(EMBED_DIM)
+    )
+    sq = " + ".join(f"d{d} * d{d}" for d in range(EMBED_DIM))
+    return f"""
+WITH agg AS (
+  SELECT label, {dims}, count(*) AS n_vecs
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vecs, round(sqrt({sq}), 4) AS centroid_norm FROM agg"""
+
+
+def sql_ann_lsh(threshold: float = NEARDUP_COSINE) -> str:
+    planes = hyperplanes(NUM_PLANES, EMBED_DIM)
+    plane_lits = [
+        "[" + ", ".join(f"{float(v):.1f}" for v in row) + "]" for row in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_dot('embedding', plane_lits[j])} >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+        for j in range(NUM_PLANES)
+    )
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 4) AS cos_sim
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cos}, 4) >= {threshold}"""
+
+
+# -------------------------------------------------------------- flagship --
+
+# doc_id % 10 → planted page class in plans/docpages.py; the oracle derives
+# the classifier's expected output from the SAME construction rule. Pages
+# with class high carry __NEXT_DATA__ + div#__next + /_next/static/ +
+# buildId (detector: max=3 → 'high'); medium carry next-route-announcer
+# (max=2 → 'medium'); low carry only /_next/ (max=1 → gated out at
+# min_confidence=medium); the rest are negative.
+
+
+def sql_flagship() -> str:
+    return """
+SELECT source || '.example.com' AS domain,
+       'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+       'https' AS schema,
+       CASE WHEN doc_id % 10 < 2 THEN 'high' ELSE 'medium' END AS confidence,
+       CASE WHEN doc_id % 10 < 2 THEN 'bld' || CAST(doc_id AS VARCHAR) END AS build_id,
+       source AS warc_source
+FROM documents
+WHERE doc_id % 10 < 4"""
