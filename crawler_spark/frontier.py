@@ -187,8 +187,11 @@ class FrontierCrawler:
             [F.col("priority").desc(), F.col("failure_count").desc(), F.col("url").asc()],
         )
 
-        # 2. URL-seen anti-join (Bloom prefilter + exact confirm)
-        unseen = filter_unseen(candidates, seen, blooms, cfg=cfg)
+        # 2. URL-seen anti-join (Bloom prefilter + exact confirm).
+        #    Cached: the Bloom cogroup probe is the round's most expensive
+        #    pre-fetch stage and every downstream branch (gate, admit,
+        #    metrics counts) re-reads it.
+        unseen = filter_unseen(candidates, seen, blooms, cfg=cfg).cache()
 
         # 3. robots gate + per-host budgets from crawl_delay
         g = gate(unseen, self.robots)
@@ -201,12 +204,14 @@ class FrontierCrawler:
         admitted = adm.admitted.drop("host_budget", "crawl_delay").cache()
         deferred = adm.deferred.drop("host_budget", "crawl_delay")
 
-        # 5. "fetch": join the pages corpus on url
+        # 5. "fetch": join the pages corpus on url. Cached: both branches
+        #    (fetched/missing) and the failure+link stages reuse it, and
+        #    the page-lookup side is itself a window over the corpus.
         page_cols = self._page_lookup
         fetch = admitted.join(
             page_cols, admitted["url"] == page_cols["p_url"], "left"
-        ).drop("p_url")
-        fetched = fetch.where(F.col("text").isNotNull()).cache()
+        ).drop("p_url").cache()
+        fetched = fetch.where(F.col("text").isNotNull())
         missing = fetch.where(F.col("text").isNull()).select(
             "url", "surt", "host", "path", "depth", "priority", "failure_count"
         )
@@ -260,7 +265,7 @@ class FrontierCrawler:
             )
             new_links = self._canonical_frontier(
                 link_dst, F.lit(round_no + 1), F.lit(-1000.0) * (round_no + 1)
-            )
+            ).cache()
             parts.append(new_links)
             if measure:
                 m.new_links = new_links.count()
@@ -306,7 +311,10 @@ class FrontierCrawler:
             }
         )
         admitted.unpersist()
-        fetched.unpersist()
+        fetch.unpersist()
+        unseen.unpersist()
+        if self.links is not None:
+            new_links.unpersist()
         return m
 
     def run(self, max_rounds: int, from_round: int | None = None) -> list[RoundMetrics]:

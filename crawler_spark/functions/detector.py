@@ -123,9 +123,19 @@ def detect_frame(html: pd.Series) -> pd.DataFrame:
 
 
 @pandas_udf(DETECTION_SCHEMA)
-def detect_udf(html: pd.Series) -> pd.DataFrame:
+def _detect_udf_raw(html: pd.Series) -> pd.DataFrame:
     """Arrow-batched detector: text column → detection struct."""
     return detect_frame(html)
+
+
+# Marked nondeterministic ON PURPOSE (it is deterministic): Catalyst
+# otherwise pushes confidence-gate predicates through the projection and
+# duplicates the whole Arrow stage — the detector ran twice per row
+# (.explain showed two ArrowEvalPython nodes, ~+25% Python time on the
+# hot path). The flag pins one evaluation; upstream JVM filters
+# (content-sniff, rec_type) are applied before the UDF in plan
+# construction, so no useful pushdown is lost.
+detect_udf = _detect_udf_raw.asNondeterministic()
 
 
 def with_detection(df, text_col: str = "text", out_col: str = "detection"):
