@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.functions import textstats as TS
+from crawler_spark.operators import multimodal as MM
 from crawler_spark.operators import similarity as SIM
 from crawler_spark.operators import textdedup as TD
 from crawler_spark.oracle import sqlgen as SG
@@ -307,6 +308,43 @@ def _q_ann_lsh(spark, sf_dir):
     return SIM.lsh_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+# ------------------------------------------------------------ multimodal --
+
+MEDIA_FRAME_EVERY_K = 10
+MEDIA_RESIZE_MAX_SIDE = 256
+
+
+def _media(spark, sf_dir):
+    from crawler_spark.sources.media import media_from_documents
+
+    return media_from_documents(_t(spark, sf_dir, "documents").select("doc_id"))
+
+
+def _q_media_features(spark, sf_dir):
+    """Binary media decode: encode→shuffle→byte-parse round-trip
+    (mapInPandas, Arrow-batched; fake container, real plumbing)."""
+    return MM.decode_features(_media(spark, sf_dir)).withColumn(
+        "duration_s", F.round("duration_s", 4)
+    )
+
+
+def _q_media_frames(spark, sf_dir):
+    """Video frame sampling — UDTF shape (one blob → many frame rows)."""
+    return MM.frame_sample(_media(spark, sf_dir), every_k=MEDIA_FRAME_EVERY_K)
+
+
+def _q_media_resize(spark, sf_dir):
+    """Image resize geometry (letterbox scale), mapInPandas stage."""
+    return MM.resize_plan(_media(spark, sf_dir), max_side=MEDIA_RESIZE_MAX_SIDE).withColumn(
+        "scale", F.round("scale", 6)
+    )
+
+
+def _q_media_stats(spark, sf_dir):
+    """Per-modality rollup over decoded features."""
+    return MM.media_type_stats(MM.decode_features(_media(spark, sf_dir)))
+
+
 # ------------------------------------------------- rows-only engine demos --
 
 
@@ -350,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_pairs": _q_cosine_neardup,
         "embedding_centroids": _q_centroids,
         "ann_lsh_neardups": _q_ann_lsh,
+        "media_decode_features": _q_media_features,
+        "media_frame_sample": _q_media_frames,
+        "media_resize_plan": _q_media_resize,
+        "media_type_stats": _q_media_stats,
         "corpus_classify": _q_corpus_classify,
     }
 
@@ -444,6 +486,10 @@ GROUP BY source""",
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),
         "embedding_centroids": SG.sql_centroids(),
         "ann_lsh_neardups": SG.sql_ann_lsh(),
+        "media_decode_features": SG.sql_media_features(),
+        "media_frame_sample": SG.sql_media_frame_sample(MEDIA_FRAME_EVERY_K),
+        "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),
+        "media_type_stats": SG.sql_media_stats(),
         # corpus_classify: non-SQL (gzip/charset decode + Arrow detector)
         # → rows-only check; pytest oracles it row-by-row.
     }

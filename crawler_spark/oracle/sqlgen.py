@@ -276,6 +276,95 @@ FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE round({cos}, 4) >= {threshold}"""
 
 
+# ------------------------------------------------------------- multimodal --
+
+# Media payloads are deterministic closed-form functions of doc_id
+# (crawler_spark/sources/media.py): the Spark side encodes real binary
+# containers, shuffles them, and decodes byte-by-byte in mapInPandas; the
+# oracle recomputes the expected features arithmetically. Divergence
+# anywhere in encode→decode would surface as a value-hash mismatch.
+
+_MEDIA_CTE = """
+m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                         ELSE 'video' END AS media_type,
+         CAST(64 + (doc_id * 7) % 448 AS INT) AS w,
+         CAST(64 + (doc_id * 13) % 448 AS INT) AS h,
+         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+         CAST(500 + (doc_id * 37) % 9500 AS INT) AS ms,
+         CAST(8 + (doc_id * 3) % 120 AS INT) AS n_frames,
+         CAST(24 + (doc_id % 2) * 6 AS INT) AS fps
+  FROM documents
+)"""
+
+
+def sql_media_features() -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT doc_id, media_type,
+       CAST(CASE media_type WHEN 'image' THEN 76 WHEN 'audio' THEN 16
+                            ELSE 12 END AS BIGINT) AS n_bytes,
+       CASE WHEN media_type = 'image' THEN w END AS width,
+       CASE WHEN media_type = 'image' THEN h END AS height,
+       CAST(CASE WHEN media_type = 'image' THEN w * h END AS BIGINT) AS n_pixels,
+       CASE WHEN media_type = 'image'
+            THEN CAST(doc_id % 251 AS DOUBLE) END AS mean_pixel,
+       CASE WHEN media_type = 'audio' THEN rate END AS sample_rate,
+       CASE WHEN media_type = 'audio' THEN ms END AS duration_ms,
+       CAST(CASE WHEN media_type = 'audio'
+                 THEN (rate * ms) // 1000 END AS BIGINT) AS n_samples,
+       CASE WHEN media_type = 'video' THEN n_frames END AS n_frames,
+       CASE WHEN media_type = 'video' THEN fps END AS fps,
+       CASE WHEN media_type = 'video'
+            THEN round(CAST(n_frames AS DOUBLE) / fps, 4) END AS duration_s
+FROM m"""
+
+
+def sql_media_frame_sample(every_k: int) -> str:
+    return f"""
+WITH {_MEDIA_CTE}
+SELECT doc_id,
+       CAST(unnest(range(0, n_frames, {every_k})) AS INT) AS frame_idx,
+       CAST((unnest(range(0, n_frames, {every_k})) * 1000) // fps AS INT) AS ts_ms
+FROM m WHERE media_type = 'video'"""
+
+
+def sql_media_resize(max_side: int) -> str:
+    return f"""
+WITH {_MEDIA_CTE},
+r AS (
+  SELECT doc_id, w, h,
+         least(1.0, CAST({max_side} AS DOUBLE) / greatest(w, h)) AS scale
+  FROM m WHERE media_type = 'image'
+)
+SELECT doc_id, w AS width, h AS height,
+       CAST(greatest(1, CAST(trunc(w * scale) AS INT)) AS INT) AS out_width,
+       CAST(greatest(1, CAST(trunc(h * scale) AS INT)) AS INT) AS out_height,
+       round(scale, 6) AS scale
+FROM r"""
+
+
+def sql_media_stats() -> str:
+    return f"""
+WITH {_MEDIA_CTE},
+f AS (
+  SELECT media_type,
+         CASE media_type WHEN 'image' THEN 76 WHEN 'audio' THEN 16
+                         ELSE 12 END AS n_bytes,
+         CASE WHEN media_type = 'image' THEN w * h END AS n_pixels,
+         CASE WHEN media_type = 'audio' THEN (rate * ms) // 1000 END AS n_samples,
+         CASE WHEN media_type = 'video'
+              THEN CAST(n_frames AS DOUBLE) / fps END AS duration_s
+  FROM m
+)
+SELECT media_type, count(*) AS n, sum(n_bytes) AS total_bytes,
+       round(avg(n_pixels), 4) AS avg_pixels,
+       round(avg(n_samples), 4) AS avg_samples,
+       round(avg(duration_s), 4) AS avg_duration_s
+FROM f GROUP BY media_type"""
+
+
 # -------------------------------------------------------------- flagship --
 
 # doc_id % 10 → planted page class in plans/docpages.py; the oracle derives
