@@ -9,16 +9,25 @@ corpus); the reference's HTTP stages map as in SURVEY §3.
 Per round (each step one declarative DataFrame op, shuffles noted):
 
   1. candidates  = frontier, first-wins deduped by surt        [shuffle: surt]
-  2. unseen      = Bloom-prefiltered exact anti-join vs seen   [shuffle: bucket, positives only]
-  3. allowed     = robots gate (broadcast join) + crawl_delay budgets
+  2. unseen      = Bloom-prefiltered exact anti-join vs seen   [shuffle: bucket; seen side pruned to Bloom-positive buckets]
+  3. tagged      = robots verdict + crawl_delay (broadcast join, cached)
   4. admitted/deferred = per-host politeness window, skew-salted [shuffle: host(+salt)]
   5. fetched/missing   = join pages on url                     [shuffle: url; AQE may broadcast the admitted side]
   6. results    += detector over fetched (one Arrow stage)
   7. failures   += missing (retry ≤ max_attempts, then permanent)
   8. frontier'   = deferred ∪ out-links of fetched (anti-joined next round) ∪ retryable failures
-  9. url_seen   += admitted∖retryable; blooms rebuilt; metrics row appended
+  9. url_seen   += admitted∖retryable (bucket-keyed, bucket-sorted);
+     blooms updated INCREMENTALLY from the round delta (O(delta), not O(seen))
  10. atomic round commit (state.json) — kill anywhere before it and resume
      replays the round; after it, the round is durable.
+
+Job economy (this is what the two-parallelism bench measures): one round
+is exactly 2 aggregate jobs (bucket-prune collect — which also fills the
+probed cache and fires the candidate Observation — and the per-host
+stats/skew job, which fills the tagged cache) + the table writes. Every
+other metric piggybacks on a write via ``DataFrame.observe`` — no
+standalone count() jobs, because at a 10^10-row frontier each count is a
+full extra pass over the round's data.
 
 Scheduling-order contract (SURVEY §3 EP1 caveat): the reference's emitted
 order is thread-nondeterministic; the *scheduled* order is deterministic.
@@ -35,19 +44,19 @@ permanently-failed URL stops being scheduled.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawler_spark.config import DEFAULT, EngineConfig
 from crawler_spark.functions.detector import confidence_rank, detect_udf
 from crawler_spark.functions.url import canonicalize_udf
-from crawler_spark.operators.bloom import build_blooms
-from crawler_spark.operators.dedup import filter_unseen, first_wins
-from crawler_spark.operators.politeness import admit_per_host, default_order
-from crawler_spark.operators.robots import budget_from_crawl_delay, gate
+from crawler_spark.operators.bloom import build_blooms, update_blooms
+from crawler_spark.operators.dedup import filter_unseen_pruned, first_wins
+from crawler_spark.operators.politeness import admit_per_host
+from crawler_spark.operators.robots import budget_from_crawl_delay, gate_tag
 from crawler_spark.sources.tables import SnapshotStore
 
 FRONTIER_SCHEMA = T.StructType(
@@ -61,6 +70,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("failure_count", T.IntegerType()),
     ]
 )
+_FCOLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+SEEN_SCHEMA = "bucket int, surt string, url string, host string, round int"
 
 
 @dataclass
@@ -75,19 +87,24 @@ class RoundMetrics:
     missing: int = 0
     results: int = 0
     new_links: int = 0
+    next_frontier: int = 0
+    max_host_load: int = 0
+    salted: bool = False
     seconds: float = 0.0
+    trace: dict = None  # per-section wall times (not persisted)
 
     def row(self) -> tuple:
         return (
             self.round, self.candidates, self.unseen, self.admitted, self.deferred,
             self.blocked, self.fetched, self.missing, self.results, self.new_links,
-            float(self.seconds),
+            self.next_frontier, self.max_host_load, self.salted, float(self.seconds),
         )
 
 
 METRICS_SCHEMA = (
     "round int, candidates long, unseen long, admitted long, deferred long, "
-    "blocked long, fetched long, missing long, results long, new_links long, seconds double"
+    "blocked long, fetched long, missing long, results long, new_links long, "
+    "next_frontier long, max_host_load long, salted boolean, seconds double"
 )
 
 
@@ -113,15 +130,20 @@ class FrontierCrawler:
         self.cfg = cfg
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence
+        self._last_max_host: int | None = None
         # One fetchable copy per URL: the corpus plants ~5% cross-WARC
         # duplicates; a crawl fetches a URL once, deterministically the
-        # first copy in file order. (At production scale this dedupe
-        # happens once at ingest, not per round.)
+        # first copy in file order. Persisted: the window over the corpus
+        # would otherwise recompute every round. (At production scale this
+        # dedupe happens once at ingest, not per crawl.)
         self._page_lookup = first_wins(
             pages.select(F.col("url").alias("p_url"), "text", "warc_source", "warc_offset"),
             ["p_url"],
             [F.col("warc_offset").asc()],
-        )
+        ).persist()
+
+    def close(self) -> None:
+        self._page_lookup.unpersist()
 
     # ------------------------------------------------------------ setup --
     def _canonical_frontier(self, urls: DataFrame, depth_col, priority_col) -> DataFrame:
@@ -147,9 +169,7 @@ class FrontierCrawler:
         frontier = self._canonical_frontier(
             seeds, F.lit(0), -F.col("seed_id").cast("double")
         )
-        empty_seen = self.spark.createDataFrame(
-            [], "surt string, url string, host string, round int"
-        )
+        empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self.store.write("frontier", frontier, meta={"round": 0})
         self.store.write("url_seen", empty_seen, meta={"round": 0})
         self.store.write("blooms", build_blooms(empty_seen, cfg=self.cfg), meta={"round": 0})
@@ -165,12 +185,29 @@ class FrontierCrawler:
         state = self.store.restore_state()
         if state is None:
             raise RuntimeError("no committed state to resume from (run init_from_seeds)")
+        try:  # restore the sticky skew signal from the last round's metrics
+            row = (
+                self.store.read(self.spark, "metrics")
+                .orderBy(F.desc("round"))
+                .select("max_host_load")
+                .first()
+            )
+            self._last_max_host = int(row[0]) if row else None
+        except Exception:
+            self._last_max_host = None
         return int(state["round"])
 
     # ------------------------------------------------------------ round --
     def run_round(self, round_no: int, measure: bool = True) -> RoundMetrics:
         t0 = time.time()
         m = RoundMetrics(round=round_no)
+        m.trace = {}
+        _tprev = [t0]
+
+        def _tr(name: str) -> None:
+            now = time.time()
+            m.trace[name] = round(now - _tprev[0], 2)
+            _tprev[0] = now
         spark, store, cfg = self.spark, self.store, self.cfg
 
         frontier = store.read(spark, "frontier")
@@ -181,40 +218,62 @@ class FrontierCrawler:
         #    deterministic: priority, then failure_count desc (a retrying
         #    row must beat a fresh link with the same surt so its attempt
         #    count survives), then url as the total tie-break.
+        obs_cand = Observation()
         candidates = first_wins(
             frontier,
             ["surt"],
             [F.col("priority").desc(), F.col("failure_count").desc(), F.col("url").asc()],
+        ).observe(obs_cand, F.count(F.lit(1)).alias("n"))
+
+        # 2. URL-seen anti-join: Bloom prefilter, exact confirm against
+        #    Bloom-positive buckets only. The bucket-prune collect inside is
+        #    the round's first job; it fills the probed cache and fires
+        #    obs_cand.
+        ur = filter_unseen_pruned(candidates, seen, blooms, cfg=cfg)
+        _tr("prune_probe")
+        unseen = ur.unseen
+
+        # 3. robots verdict as a tag (broadcast join), cached: the
+        #    allowed/blocked branches and the admission windows all read it.
+        #    Unseen/blocked totals ride on the cache fill as an Observation
+        #    (one fill → one fire); no standalone stats job.
+        obs_tag = Observation()
+        tagged = (
+            gate_tag(unseen, self.robots)
+            .observe(
+                obs_tag,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("_blocked"), 1).otherwise(0)).alias("nb"),
+            )
+            .persist()
         )
 
-        # 2. URL-seen anti-join (Bloom prefilter + exact confirm).
-        #    Cached: the Bloom cogroup probe is the round's most expensive
-        #    pre-fetch stage and every downstream branch (gate, admit,
-        #    metrics counts) re-reads it.
-        unseen = filter_unseen(candidates, seen, blooms, cfg=cfg).cache()
-
-        # 3. robots gate + per-host budgets from crawl_delay
-        g = gate(unseen, self.robots)
+        # 4. politeness admission. The skew decision is STICKY: this round
+        #    salts iff the previous round's max per-host load crossed the
+        #    threshold (the load itself is observed off the admission
+        #    window's row_number — zero extra jobs, one round of lag; a
+        #    host that explodes mid-crawl costs one slow window round,
+        #    then salting kicks in).
+        m.salted = (self._last_max_host or 0) > cfg.skew_threshold
         allowed = budget_from_crawl_delay(
-            g.allowed, cfg.politeness.round_duration_s, self.budget
+            tagged.where(~F.col("_blocked")).drop("_blocked"),
+            cfg.politeness.round_duration_s,
+            self.budget,
         )
-
-        # 4. politeness admission
-        adm = admit_per_host(allowed, budget_col="host_budget", cfg=cfg)
-        admitted = adm.admitted.drop("host_budget", "crawl_delay").cache()
-        deferred = adm.deferred.drop("host_budget", "crawl_delay")
+        obs_load = Observation()
+        adm = admit_per_host(allowed, budget_col="host_budget", cfg=cfg,
+                             force_salting=m.salted, load_observation=obs_load)
+        admitted = adm.admitted.drop("host_budget", "crawl_delay").persist()
+        deferred = adm.deferred
 
         # 5. "fetch": join the pages corpus on url. Cached: both branches
-        #    (fetched/missing) and the failure+link stages reuse it, and
-        #    the page-lookup side is itself a window over the corpus.
+        #    (fetched/missing) and the failure+link stages reuse it.
         page_cols = self._page_lookup
         fetch = admitted.join(
             page_cols, admitted["url"] == page_cols["p_url"], "left"
-        ).drop("p_url").cache()
+        ).drop("p_url").persist()
         fetched = fetch.where(F.col("text").isNotNull())
-        missing = fetch.where(F.col("text").isNull()).select(
-            "url", "surt", "host", "path", "depth", "priority", "failure_count"
-        )
+        missing = fetch.where(F.col("text").isNull())
 
         # 6. classify fetched pages (one Arrow stage), gate, append results
         from crawler_spark.patterns import CONFIDENCE_ORDER
@@ -243,7 +302,6 @@ class FrontierCrawler:
         # 7. failures: missing pages retry up to max_attempts
         fail_rows = missing.withColumn("failure_count", F.col("failure_count") + 1)
         retryable = fail_rows.where(F.col("failure_count") < cfg.max_retry_attempts)
-        permanent = fail_rows.where(F.col("failure_count") >= cfg.max_retry_attempts)
         failures_log = fail_rows.select(
             "url",
             F.lit("connection_error").alias("failure_reason"),
@@ -255,7 +313,10 @@ class FrontierCrawler:
         # 8. next frontier: deferred ∪ new out-links ∪ retryable failures.
         #    (next round's step 2 anti-joins the fresh seen set, so links
         #    back to scheduled URLs terminate — planted cycles included.)
-        parts = [deferred, retryable]
+        parts = [
+            deferred.select(*_FCOLS).withColumn("_src", F.lit("deferred")),
+            retryable.select(*_FCOLS).withColumn("_src", F.lit("retry")),
+        ]
         if self.links is not None:
             link_dst = (
                 fetched.select(F.col("url").alias("src_url"))
@@ -265,41 +326,120 @@ class FrontierCrawler:
             )
             new_links = self._canonical_frontier(
                 link_dst, F.lit(round_no + 1), F.lit(-1000.0) * (round_no + 1)
-            ).cache()
-            parts.append(new_links)
-            if measure:
-                m.new_links = new_links.count()
+            )
+            parts.append(new_links.select(*_FCOLS).withColumn("_src", F.lit("link")))
         next_frontier = parts[0]
         for p in parts[1:]:
             next_frontier = next_frontier.unionByName(p)
+        obs_frontier = Observation()
+        next_frontier = next_frontier.observe(
+            obs_frontier,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("_src") == "deferred", 1).otherwise(0)).alias("deferred"),
+            F.sum(F.when(F.col("_src") == "retry", 1).otherwise(0)).alias("retry"),
+            F.sum(F.when(F.col("_src") == "link", 1).otherwise(0)).alias("link"),
+        ).drop("_src")
 
         # 9. seen += scheduled URLs this round (admitted minus the missing
         #    ones that will retry; permanently-failed URLs are sealed too).
+        #    Rows keep their bucket and are written bucket-sorted so the
+        #    confirm join's IN-list prunes parquet row groups (the Iceberg
+        #    bucket-partition analog).
+        obs_seen = Observation()
         newly_seen = (
             admitted.join(retryable.select("surt"), "surt", "left_anti")
-            .select("surt", "url", "host")
+            .select("bucket", "surt", "url", "host")
             .withColumn("round", F.lit(round_no))
+            .observe(obs_seen, F.count(F.lit(1)).alias("n"))
+            .sortWithinPartitions("bucket")
+        )
+        obs_res = Observation()
+        results = results.observe(obs_res, F.count(F.lit(1)).alias("n"))
+        obs_fail = Observation()
+        failures_log = failures_log.observe(
+            obs_fail,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("is_permanent"), 1).otherwise(0)).alias("permanent"),
         )
 
-        if measure:
-            m.candidates = candidates.count()
-            m.unseen = unseen.count()
-            m.deferred = deferred.count()
-            m.blocked = g.blocked.count()
-            m.missing = missing.count()
-        m.admitted = admitted.count()
-        m.fetched = fetched.count()
-
         # ---- commit (deltas only; state swap last = snapshot isolation) --
+        # The frontier write runs FIRST and alone: it materializes the
+        # tagged/admitted/fetch caches (and fires their observations), so
+        # the writes after it read warm caches. Those writes are mutually
+        # independent → run concurrently (separate action threads against
+        # the same session); rollback-on-crash makes any interleaving safe
+        # because state.json still commits last.
         store.write("frontier", next_frontier, meta={"round": round_no})
-        store.write("url_seen", newly_seen, meta={"round": round_no}, append=True)
-        seen_all = store.read(spark, "url_seen")
-        store.write("blooms", build_blooms(seen_all, cfg=cfg), meta={"round": round_no})
-        store.write("results", results, meta={"round": round_no}, append=True)
-        store.write("failures", failures_log, meta={"round": round_no}, append=True)
-        m.results = store.read(spark, "results").where(F.col("round") == round_no).count()
+        _tr("w_frontier")
+
+        def _w_seen_and_blooms() -> None:
+            seen_version = store.write(
+                "url_seen", newly_seen, meta={"round": round_no}, append=True
+            )
+            # bloom maintenance: fold in ONLY this round's delta; buckets
+            # that would overflow their target FP rate are rebuilt from the
+            # exact table (amortized-rare: fresh buckets carry 4× headroom).
+            delta = store.read_delta(spark, "url_seen", seen_version)
+            new_blooms = update_blooms(blooms, delta, cfg=cfg).persist()
+            overflow = [
+                r[0]
+                for r in new_blooms.where(F.col("bits").isNull()).select("bucket").collect()
+            ]
+            if overflow:
+                rebuilt = build_blooms(
+                    store.read(spark, "url_seen").where(F.col("bucket").isin(overflow)),
+                    cfg=cfg,
+                    headroom=4,
+                )
+                final_blooms = new_blooms.where(
+                    ~F.col("bucket").isin(overflow)
+                ).unionByName(rebuilt)
+            else:
+                final_blooms = new_blooms
+            store.write("blooms", final_blooms, meta={"round": round_no})
+            new_blooms.unpersist()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(_w_seen_and_blooms),
+                pool.submit(
+                    store.write, "results", results, {"round": round_no}, None, True
+                ),
+                pool.submit(
+                    store.write, "failures", failures_log, {"round": round_no}, None, True
+                ),
+            ]
+            for f in futs:
+                f.result()
+        _tr("w_parallel")
+
+        # ---- metrics: all piggybacked on the writes above --------------
+        to = obs_tag.get
+        m.unseen = int(to["n"] or 0)
+        m.blocked = int(to["nb"] or 0)
+        try:
+            m.max_host_load = int(obs_load.get["max_load"] or 0)
+        except Exception:
+            m.max_host_load = 0
+        self._last_max_host = m.max_host_load
+        try:
+            m.candidates = int(obs_cand.get["n"])
+        except Exception:
+            m.candidates = m.unseen  # observation unavailable: lower bound
+        fo = obs_frontier.get
+        m.next_frontier = int(fo["total"] or 0)
+        m.deferred = int(fo["deferred"] or 0)
+        m.new_links = int(fo["link"] or 0)
+        n_retry = int(fo["retry"] or 0)
+        m.admitted = int(obs_seen.get["n"] or 0) + n_retry
+        m.results = int(obs_res.get["n"] or 0)
+        m.missing = int(obs_fail.get["n"] or 0)
+        m.fetched = m.admitted - m.missing
         m.seconds = time.time() - t0
         metrics_df = self.spark.createDataFrame([m.row()], METRICS_SCHEMA)
+        _tr("obs_read")
         store.write("metrics", metrics_df, meta={"round": round_no}, append=True)
         store.commit_state(
             {
@@ -310,19 +450,25 @@ class FrontierCrawler:
                 },
             }
         )
-        admitted.unpersist()
-        fetch.unpersist()
-        unseen.unpersist()
-        if self.links is not None:
-            new_links.unpersist()
+        for df in (admitted, fetch, tagged, ur.probed):
+            df.unpersist()
         return m
 
     def run(self, max_rounds: int, from_round: int | None = None) -> list[RoundMetrics]:
-        """Run rounds until the frontier drains or max_rounds."""
+        """Run rounds until the frontier drains or max_rounds. The drain
+        check reuses the previous round's frontier-write observation — no
+        per-iteration count job."""
         start = (from_round if from_round is not None else self.resume()) + 1
-        out = []
+        out: list[RoundMetrics] = []
+        prev_next: int | None = None
         for r in range(start, start + max_rounds):
-            if self.store.read(self.spark, "frontier").limit(1).count() == 0:
+            if prev_next == 0:
                 break
-            out.append(self.run_round(r))
+            if prev_next is None and (
+                self.store.read(self.spark, "frontier").limit(1).count() == 0
+            ):
+                break
+            m = self.run_round(r)
+            out.append(m)
+            prev_next = m.next_frontier
         return out

@@ -11,6 +11,8 @@ Reference semantics (SURVEY §2.4):
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,6 +58,60 @@ def filter_unseen(
     maybe = probed.where(F.col("_maybe_seen")).drop("_maybe_seen")
     confirmed_new = maybe.join(seen_keys, key_col, "left_anti")
     return definitely_new.unionByName(confirmed_new)
+
+
+@dataclass
+class UnseenResult:
+    unseen: DataFrame  # exact; carries a ``bucket`` column
+    probed: DataFrame  # cached — caller unpersists after the round
+    maybe_buckets: list[int]  # buckets with ≥1 Bloom positive
+
+
+def filter_unseen_pruned(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame,
+    key_col: str = "surt",
+    cfg: EngineConfig = DEFAULT,
+) -> UnseenResult:
+    """The frontier-loop variant of :func:`filter_unseen`: exact, with the
+    seen side *pruned to Bloom-positive buckets* before the anti-join.
+
+    ``seen`` must carry a ``bucket`` column (bloom.bucket_of, written
+    bucket-sorted): the ``bucket IN (...)`` predicate pushes down to
+    parquet row-group stats — the Iceberg ``bucket(B, surt)`` partition-
+    pruning analog. At a 10^10-row seen table this is what keeps the
+    confirm join from shuffling the whole table when only a few buckets
+    have positives (early rounds: most candidates are Bloom-negative and
+    skip the join entirely).
+
+    ``probed`` is cached here because BOTH output branches (definitely-new
+    ∪ confirmed-new) read it — without the cache the candidate subtree
+    (window dedupe + bloom cogroup) would execute twice per action, and
+    any Observation planted upstream would double-fire.
+    """
+    cand = candidates.where(F.col(key_col).isNotNull())
+    probed = probe_blooms(
+        cand, blooms, key_col, cfg, bucket_out="bucket"
+    ).persist()
+    maybe_buckets = [
+        r[0]
+        for r in probed.where(F.col("_maybe_seen")).select("bucket").distinct().collect()
+    ]
+    definitely_new = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+    if maybe_buckets:
+        seen_keys = seen.select("bucket", key_col).where(
+            F.col("bucket").isin(maybe_buckets)
+        )
+        confirmed_new = (
+            probed.where(F.col("_maybe_seen"))
+            .drop("_maybe_seen")
+            .join(seen_keys, ["bucket", key_col], "left_anti")
+        )
+        unseen = definitely_new.unionByName(confirmed_new)
+    else:
+        unseen = definitely_new
+    return UnseenResult(unseen=unseen, probed=probed, maybe_buckets=maybe_buckets)
 
 
 def dedupe_per_warc(results: DataFrame) -> DataFrame:

@@ -55,6 +55,7 @@ def admit_per_host(
     budget_col: str | None = None,
     cfg: EngineConfig = DEFAULT,
     force_salting: bool | None = None,
+    load_observation=None,
 ) -> AdmitResult:
     """Split candidates into (admitted, deferred) under the per-host budget.
 
@@ -64,6 +65,10 @@ def admit_per_host(
         derived from robots crawl_delay); overrides ``budget`` where set.
     force_salting: tests can pin phase-1 on/off; default = decide from an
         aggregate count (any host above cfg.skew_threshold).
+    load_observation: optional pyspark Observation; receives
+        ``max_load`` = the max per-host row count, read off the admission
+        window's own row_number (zero extra jobs — the frontier loop uses
+        the previous round's value as this round's skew decision).
     """
     order = order or default_order()
     b = budget if budget is not None else cfg.politeness.budget_per_round
@@ -94,6 +99,11 @@ def admit_per_host(
 
     w2 = Window.partitionBy(host_col).orderBy(*order)
     df = df.withColumn("_rn2", F.row_number().over(w2))
+    if load_observation is not None:
+        # NOTE: after phase-1 salting, _rn2 max is capped at salts·budget
+        # per host — still ≥ the admitted load, which is what the skew
+        # decision needs (a capped max over threshold still trips it).
+        df = df.observe(load_observation, F.max("_rn2").alias("max_load"))
     admitted = df.where(F.col("_rn2") <= eff_budget).drop("_rn2")
     deferred_parts.append(df.where(F.col("_rn2") > eff_budget).drop("_rn2"))
 

@@ -24,20 +24,24 @@ class GateResult:
     blocked: DataFrame
 
 
-def gate(
+def gate_tag(
     candidates: DataFrame,
     robots: DataFrame | None,
     host_col: str = "host",
     path_col: str = "path",
     broadcast: bool = True,
-) -> GateResult:
-    """Split candidates by robots rules; unknown hosts are allowed.
+    flag_col: str = "_blocked",
+) -> DataFrame:
+    """Tag candidates with the robots verdict instead of splitting.
 
-    The blocked side keeps a ``block_reason`` column for the failures
-    table (lineage: which rule family dropped the row).
+    One pass; the caller filters on ``flag_col`` (and typically caches the
+    tagged frame so both branches read one materialization). Unknown hosts
+    are allowed; ``crawl_delay`` rides along for the budget derivation.
     """
     if robots is None:
-        return GateResult(candidates, candidates.limit(0).withColumn("block_reason", F.lit("")))
+        return candidates.withColumns(
+            {flag_col: F.lit(False), "crawl_delay": F.lit(None).cast("double")}
+        )
     r = robots.select(
         F.col("host").alias("_r_host"),
         F.col("disallow_prefixes").alias("_r_prefixes"),
@@ -53,11 +57,26 @@ def gate(
         ),
         F.lit(False),
     )
-    joined = joined.withColumn("_blocked", is_blocked)
-    allowed = joined.where(~F.col("_blocked")).drop("_r_host", "_r_prefixes", "_blocked")
+    return joined.withColumn(flag_col, is_blocked).drop("_r_host", "_r_prefixes")
+
+
+def gate(
+    candidates: DataFrame,
+    robots: DataFrame | None,
+    host_col: str = "host",
+    path_col: str = "path",
+    broadcast: bool = True,
+) -> GateResult:
+    """Split candidates by robots rules; unknown hosts are allowed.
+
+    The blocked side keeps a ``block_reason`` column for the failures
+    table (lineage: which rule family dropped the row).
+    """
+    tagged = gate_tag(candidates, robots, host_col, path_col, broadcast)
+    allowed = tagged.where(~F.col("_blocked")).drop("_blocked")
     blocked = (
-        joined.where(F.col("_blocked"))
-        .drop("_r_host", "_r_prefixes", "_blocked", "crawl_delay")
+        tagged.where(F.col("_blocked"))
+        .drop("_blocked", "crawl_delay")
         .withColumn("block_reason", F.lit("robots_disallow"))
     )
     return GateResult(allowed=allowed, blocked=blocked)

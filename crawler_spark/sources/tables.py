@@ -112,6 +112,17 @@ class SnapshotStore:
         self._commit_manifest(table, m)
         return next_v
 
+    def read_delta(self, spark: SparkSession, table: str, version: int) -> DataFrame:
+        """Read ONLY the delta directory a given append version added —
+        the Iceberg incremental-read analog (changelog between snapshots).
+        The frontier's bloom maintenance folds in just this delta instead
+        of rescanning the whole table."""
+        m = self._read_manifest(table)
+        for entry in m["versions"]:
+            if entry["version"] == version:
+                return spark.read.parquet(entry["path"])
+        raise FileNotFoundError(f"table {table!r} version {version} not found")
+
     def read(self, spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
         m = self._read_manifest(table)
         v = version if version is not None else m["current"]

@@ -134,8 +134,8 @@ def test_kill_and_resume_identical(spark, corpus, tmp_path):
     # interrupted run: 2 rounds committed, then a torn write (no state swap)
     store_b, crawler_b, _ = _run_crawler(spark, corpus, tmp_path, 2, "wh_b")
     junk = spark.createDataFrame(
-        [("junk)/x", "http://junk/x", "junk.host", 99)],
-        "surt string, url string, host string, round int",
+        [(0, "junk)/x", "http://junk/x", "junk.host", 99)],
+        "bucket int, surt string, url string, host string, round int",
     )
     store_b.write("url_seen", junk, append=True)  # torn: state.json not updated
     assert {r["surt"] for r in store_b.read(spark, "url_seen").collect()} >= {"junk)/x"}
