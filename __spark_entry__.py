@@ -308,6 +308,48 @@ def _q_ann_lsh(spark, sf_dir):
     return SIM.lsh_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+# ---------------------------------------------------------- EP1 targeted --
+
+CDX_FROM_TS = "20260101000100"  # doc_id >= 60
+CDX_TO_TS = "20260101001500"  # doc_id <= 900
+PER_DOMAIN_K = 3
+
+
+def _q_cdx_domain_select(spark, sf_dir):
+    """CDX targeted select: matchType=domain + status + time-range
+    predicates over the SURT-keyed index (reference src/cdx/client.py:54-146)."""
+    from crawler_spark.plans.targeted import cdx_from_pages, cdx_search
+
+    cdx = cdx_from_pages(pages_from_documents(_t(spark, sf_dir, "documents")))
+    return cdx_search(
+        cdx, "example.com", "domain", 200, CDX_FROM_TS, CDX_TO_TS
+    ).select("urlkey", "ts", "url", "status", "filename")
+
+
+def _q_per_domain_headk(spark, sf_dir):
+    """Per-domain outer loop as ONE query: seeds ⋈ cdx + per-host window
+    (reference src/crawler.py:205-242 recast, SURVEY §2.8)."""
+    from crawler_spark.plans.targeted import per_domain_search
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    domains = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("domain")
+    ).distinct()
+    return per_domain_search(pages, domains, limit_per_domain=PER_DOMAIN_K)
+
+
+def _q_targeted_classify(spark, sf_dir):
+    """EP1 end-to-end: CDX select → fetch-join → detector → global dedupe."""
+    from crawler_spark.plans.targeted import targeted_search
+
+    pages = pages_from_documents(_t(spark, sf_dir, "documents"))
+    res = targeted_search(
+        pages, "example.com", "domain", 200, from_ts=CDX_FROM_TS, min_confidence="medium"
+    )
+    return res.select("domain", "url", "schema", "confidence", "build_id", "warc_source")
+
+
 # ------------------------------------------------------------ multimodal --
 
 MEDIA_FRAME_EVERY_K = 10
@@ -388,6 +430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_pairs": _q_cosine_neardup,
         "embedding_centroids": _q_centroids,
         "ann_lsh_neardups": _q_ann_lsh,
+        "cdx_domain_select": _q_cdx_domain_select,
+        "per_domain_headk": _q_per_domain_headk,
+        "targeted_classify": _q_targeted_classify,
         "media_decode_features": _q_media_features,
         "media_frame_sample": _q_media_frames,
         "media_resize_plan": _q_media_resize,
@@ -486,6 +531,9 @@ GROUP BY source""",
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),
         "embedding_centroids": SG.sql_centroids(),
         "ann_lsh_neardups": SG.sql_ann_lsh(),
+        "cdx_domain_select": SG.sql_cdx_domain_select(CDX_FROM_TS, CDX_TO_TS),
+        "per_domain_headk": SG.sql_per_domain_headk(PER_DOMAIN_K),
+        "targeted_classify": SG.sql_targeted_classify(CDX_FROM_TS),
         "media_decode_features": SG.sql_media_features(),
         "media_frame_sample": SG.sql_media_frame_sample(MEDIA_FRAME_EVERY_K),
         "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),

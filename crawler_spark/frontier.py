@@ -125,8 +125,14 @@ class FrontierCrawler:
         self.spark = spark
         self.store = store
         self.pages = pages
-        self.links = links
-        self.robots = robots
+        # links/robots re-enter the plan every round (link expansion join;
+        # robots broadcast gate). A broadcast is rebuilt per QUERY, so an
+        # unpersisted robots df derived from the corpus (e.g. a groupBy
+        # over pages) would re-aggregate the whole corpus each round —
+        # persist both once. (Iceberg analog: these are materialized
+        # tables, not live views.)
+        self.links = links.persist() if links is not None else None
+        self.robots = robots.persist() if robots is not None else None
         self.cfg = cfg
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence
@@ -144,6 +150,10 @@ class FrontierCrawler:
 
     def close(self) -> None:
         self._page_lookup.unpersist()
+        if self.links is not None:
+            self.links.unpersist()
+        if self.robots is not None:
+            self.robots.unpersist()
 
     # ------------------------------------------------------------ setup --
     def _canonical_frontier(self, urls: DataFrame, depth_col, priority_col) -> DataFrame:
@@ -318,9 +328,19 @@ class FrontierCrawler:
             retryable.select(*_FCOLS).withColumn("_src", F.lit("retry")),
         ]
         if self.links is not None:
+            # Link expansion: probe the (huge) links table with the (small,
+            # ≤ budget×hosts) fetched-url set. BROADCAST the probe side
+            # explicitly — AQE's stats overestimate the cached/filtered
+            # fetch branch and pick a sort-merge join that shuffles the
+            # entire links table every round (measured: 63% of round CPU).
+            # At a scale where admitted×budget outgrows a broadcast, the
+            # production answer is a links table bucketed by src_url
+            # (storage-partitioned join), not a shuffle.
             link_dst = (
-                fetched.select(F.col("url").alias("src_url"))
-                .join(self.links, "src_url")
+                self.links.join(
+                    F.broadcast(fetched.select(F.col("url").alias("src_url")).distinct()),
+                    "src_url",
+                )
                 .select(F.col("dst_url").alias("url"))
                 .distinct()
             )

@@ -365,6 +365,61 @@ SELECT media_type, count(*) AS n, sum(n_bytes) AS total_bytes,
 FROM f GROUP BY media_type"""
 
 
+# ---------------------------------------------------------- EP1 targeted --
+
+# The CDX index derives from pages_from_documents: url =
+# https://{source}.example.com/d/{doc_id}, SURT urlkey =
+# com,example,{source})/d/{doc_id}, ts = 2026-01-01 + doc_id seconds,
+# status 200. The oracle reconstructs those closed forms.
+
+_CDX_CTE = """
+cdx AS (
+  SELECT 'com,example,' || source || ')/d/' || CAST(doc_id AS VARCHAR) AS urlkey,
+         strftime(TIMESTAMP '2026-01-01' + to_seconds(doc_id), '%Y%m%d%H%M%S') AS ts,
+         'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+         source || '.example.com' AS host,
+         200 AS status,
+         source AS filename,
+         doc_id
+  FROM documents
+)"""
+
+
+def sql_cdx_domain_select(from_ts: str, to_ts: str) -> str:
+    return f"""
+WITH {_CDX_CTE}
+SELECT urlkey, ts, url, CAST(status AS INT) AS status, filename
+FROM cdx
+WHERE (host = 'example.com' OR host LIKE '%.example.com')
+  AND status = 200 AND ts >= '{from_ts}' AND ts <= '{to_ts}'"""
+
+
+def sql_per_domain_headk(k: int) -> str:
+    return f"""
+WITH {_CDX_CTE}
+SELECT host AS domain, urlkey, ts, url, CAST(status AS INT) AS status, filename
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY urlkey, ts) AS rn
+  FROM cdx WHERE status = 200
+) WHERE rn <= {k}"""
+
+
+def sql_targeted_classify(from_ts: str) -> str:
+    """EP1 end-to-end over the documents-derived pages: flagship closed
+    form restricted by the CDX time filter; global-URL dedupe is a no-op
+    here (urls unique per doc_id)."""
+    return f"""
+SELECT source || '.example.com' AS domain,
+       'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+       'https' AS schema,
+       CASE WHEN doc_id % 10 < 2 THEN 'high' ELSE 'medium' END AS confidence,
+       CASE WHEN doc_id % 10 < 2 THEN 'bld' || CAST(doc_id AS VARCHAR) END AS build_id,
+       source AS warc_source
+FROM documents
+WHERE doc_id % 10 < 4
+  AND strftime(TIMESTAMP '2026-01-01' + to_seconds(doc_id), '%Y%m%d%H%M%S') >= '{from_ts}'"""
+
+
 # -------------------------------------------------------------- flagship --
 
 # doc_id % 10 → planted page class in plans/docpages.py; the oracle derives

@@ -1,0 +1,143 @@
+"""EP1 — CDX-targeted search (SURVEY §3 EP1).
+
+Reference lifecycle (/root/reference/src/crawler.py:60-133 driven by
+main.py): CDX index query with server-side matchType/status/time/limit →
+per-record WARC range fetch → parse → detect → confidence gate → GLOBAL
+URL dedupe → R7 result rows. Also the per-domain outer loop
+(src/crawler.py:205-242; main.py:128-134): sequential `search_and_detect`
+per domain with limit_per_domain — recast here as ONE distributed query
+(seeds ⋈ cdx + per-host window), SURVEY §2.8.
+
+Spark-first mapping:
+- the CDX index is a *projection of the pages table* (R1 ≈ R3+R4 metadata,
+  SURVEY §1.1); matchType becomes a SURT-key predicate family that pushes
+  down to the scan:
+    exact  → surt = key
+    prefix → startswith(surt, key)
+    host   → host = h
+    domain → host = d OR host LIKE '%.d'
+- server-side status/time filters → WHERE on (status, warc_ts) — Iceberg
+  partition/stat pruning territory;
+- limit → df.limit (Catalyst CollectLimit);
+- fetch = join back to pages on url (broadcast when the CDX selection is
+  small — the common targeted case);
+- dedupe policy: GLOBAL url first-wins (src/crawler.py:181-186), unlike
+  EP2's per-WARC policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.url import canonicalize_udf
+
+
+def cdx_from_pages(pages: DataFrame) -> DataFrame:
+    """R1 projection: the CDX index a crawl would publish for these pages
+    (urlkey=SURT, 14-digit ts, mime/status/length, WARC location)."""
+    c = canonicalize_udf(F.col("url"))
+    return pages.select(
+        F.col("url"),
+        c.alias("_c"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("ts"),
+        F.col("mime"),
+        F.col("status"),
+        F.md5(F.col("text")).alias("digest"),
+        F.length(F.col("html")).cast("bigint").alias("length"),
+        F.col("warc_offset").alias("offset"),
+        F.col("warc_source").alias("filename"),
+    ).select(
+        F.col("_c.surt").alias("urlkey"),
+        "ts", "url", "mime", "status", "digest", "length", "offset", "filename",
+        F.col("_c.host").alias("host"),
+    )
+
+
+def match_predicate(match_type: str, key: str) -> Column:
+    """The CDX matchType family as pushdown-able predicates
+    (reference src/cdx/client.py:88-101)."""
+    if match_type == "exact":
+        return F.col("urlkey") == key
+    if match_type == "prefix":
+        return F.col("urlkey").startswith(key)
+    if match_type == "host":
+        return F.col("host") == key
+    if match_type == "domain":
+        return (F.col("host") == key) | F.col("host").endswith("." + key)
+    raise ValueError(f"unknown match_type {match_type!r}")
+
+
+def cdx_search(
+    cdx: DataFrame,
+    key: str,
+    match_type: str = "prefix",
+    filter_status: int | None = 200,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """CDXClient.search (reference src/cdx/client.py:54-146): the server-
+    side params as WHERE clauses; malformed rows (null urlkey) skipped like
+    the client skips unparseable lines (:131-133)."""
+    df = cdx.where(F.col("urlkey").isNotNull()).where(match_predicate(match_type, key))
+    if filter_status is not None:
+        df = df.where(F.col("status") == filter_status)
+    if from_ts:
+        df = df.where(F.col("ts") >= from_ts)
+    if to_ts:
+        df = df.where(F.col("ts") <= to_ts)
+    if limit:
+        df = df.orderBy("urlkey", "ts").limit(limit)  # deterministic page
+    return df
+
+
+def targeted_search(
+    pages: DataFrame,
+    key: str,
+    match_type: str = "prefix",
+    filter_status: int | None = 200,
+    from_ts: str | None = None,
+    to_ts: str | None = None,
+    limit: int | None = None,
+    min_confidence: str = "medium",
+) -> DataFrame:
+    """EP1 end-to-end: CDX select → fetch-join pages → classify → global
+    dedupe → R7 rows (detected_at omitted: wall-clock is not data)."""
+    from crawler_spark.plans.flagship import classify_bulk
+
+    sel = cdx_search(
+        cdx_from_pages(pages), key, match_type, filter_status, from_ts, to_ts, limit
+    ).select("url")
+    hits = pages.join(F.broadcast(sel), "url", "left_semi")
+    return classify_bulk(hits, min_confidence=min_confidence, dedupe="global")
+
+
+def per_domain_search(
+    pages: DataFrame,
+    domains: DataFrame,
+    limit_per_domain: int = 10,
+    filter_status: int | None = 200,
+) -> DataFrame:
+    """The reference's per-domain OUTER LOOP (one CDX API call per domain,
+    src/crawler.py:205-242) as one distributed query: seeds ⋈ cdx on host
+    + per-host head-k window — O(domains) sequential API round-trips
+    become a single broadcast join (SURVEY §2.8 'one shot').
+
+    domains: DataFrame with a ``domain`` column.
+    Returns cdx rows, ≤ limit_per_domain per domain, in (urlkey, ts) order
+    — the deterministic page the reference's stream order implies.
+    """
+    cdx = cdx_from_pages(pages)
+    if filter_status is not None:
+        cdx = cdx.where(F.col("status") == filter_status)
+    d = F.broadcast(domains.select(F.col("domain").alias("_dom")).distinct())
+    joined = cdx.join(
+        d, (F.col("host") == F.col("_dom")) | F.col("host").endswith(F.concat(F.lit("."), F.col("_dom"))),
+    )
+    w = Window.partitionBy("_dom").orderBy("urlkey", "ts")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= limit_per_domain)
+        .select(F.col("_dom").alias("domain"), "urlkey", "ts", "url", "status", "filename")
+    )

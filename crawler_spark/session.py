@@ -36,11 +36,29 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor is measured on COMPRESSED shuffle bytes;
+        # frontier rows (url/surt/host, ~60B raw) compress ~6×, so the 1 MB
+        # default floor collapses a 100 MB stage to ~10 partitions and caps
+        # the whole loop's parallelism below the core count. 128k keeps
+        # post-shuffle parallelism ≈ cluster width for small-row payloads;
+        # at real scale partitions never get near the floor, so it's inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Size Arrow batches by BYTES, not habit: with multi-KB text rows,
+        # 10k-row (~40 MB) batches hit a pathological cliff in the
+        # JVM→worker pipeline (measured 24× slower than 4 MB batches on a
+        # trivial UDF); ~2k rows keeps batches in the single-digit-MB
+        # sweet spot for page-sized payloads while costing nothing for
+        # small rows.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # Local mode: driver == executor, so this is the whole JVM. The
+        # frontier loop persists the page-lookup + links tables plus
+        # per-round caches; an 8 GB heap evicts them and every broadcast
+        # build silently re-executes the window/join chains it was meant
+        # to reuse (measured: >60% of round CPU). Size for the caches.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

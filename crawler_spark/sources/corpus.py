@@ -99,12 +99,20 @@ _WORDS = (
 ).split()
 
 
-def _body_text(ids: np.ndarray) -> pd.Series:
+def _body_text(ids: np.ndarray, n_words: int = 12) -> pd.Series:
     w = np.array(_WORDS, dtype=object)
-    cols = [w[_uint(ids, 20 + k, len(w))] for k in range(12)]
+    cols = [w[_uint(ids, 20 + k, len(w))] for k in range(min(n_words, 12))]
     out = pd.Series(cols[0], dtype=object)
     for c in cols[1:]:
         out = out + " " + pd.Series(c, dtype=object)
+    if n_words > 12:
+        # Scale pages toward realistic Common-Crawl text sizes by tiling
+        # the 12-word seed phrase (vectorized string repeat — per-word
+        # draws would be quadratic in the concat). Repetition is fine for
+        # load realism: decode + the detector regex bank still scan every
+        # byte.
+        reps = n_words // 12
+        out = (out + " ") * (reps - 1) + out
     return out
 
 
@@ -202,7 +210,9 @@ PAGES_SCHEMA = (
 )
 
 
-def _pages_batch(pdf_ids: np.ndarray, num_warcs: int) -> pd.DataFrame:
+def _pages_batch(
+    pdf_ids: np.ndarray, num_warcs: int, body_words: int = 12
+) -> pd.DataFrame:
     ids = pdf_ids
     # ~5% duplicate URLs: a dup row reuses the URL identity of (id - delta)
     # but lands in a different warc_source (exercises per-WARC vs global dedupe).
@@ -212,7 +222,7 @@ def _pages_batch(pdf_ids: np.ndarray, num_warcs: int) -> pd.DataFrame:
     host_idx = _host_index(identity)
     host = _host_name(host_idx, identity)
     cls = _page_class(identity)
-    body = _body_text(identity)
+    body = _body_text(identity, n_words=body_words)
     html = _build_html(identity, cls, body)
     raw, mimes = _encode_rows(identity, html)
     text = [decode_bulk(b) for b in raw]
@@ -265,15 +275,23 @@ def _pages_batch(pdf_ids: np.ndarray, num_warcs: int) -> pd.DataFrame:
 
 
 def generate_pages(
-    spark: SparkSession, n: int, num_warcs: int | None = None, partitions: int | None = None
+    spark: SparkSession,
+    n: int,
+    num_warcs: int | None = None,
+    partitions: int | None = None,
+    body_words: int = 12,
 ) -> DataFrame:
-    """Distributed deterministic pages table (T1)."""
+    """Distributed deterministic pages table (T1).
+
+    body_words sizes the page text (12 ≈ 100 B unit-test pages; a few
+    hundred ≈ the KB-scale text of real crawl pages — used by the bench
+    so decode+detector compute reflects production byte volumes)."""
     num_warcs = num_warcs or max(4, n // 2_000)
     parts = partitions or spark.sparkContext.defaultParallelism
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            yield _pages_batch(pdf["id"].to_numpy(), num_warcs)
+            yield _pages_batch(pdf["id"].to_numpy(), num_warcs, body_words=body_words)
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, PAGES_SCHEMA)
 
