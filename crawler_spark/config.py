@@ -50,6 +50,11 @@ class EngineConfig:
     # Bloom prefilter sizing (bits per key / hash count) for url_seen.
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 6
+    # Probe strategy switchover: while the whole filter set fits under
+    # this many bytes it is broadcast and probed JVM-side (no shuffle,
+    # no Python); beyond it (≈10^9 seen keys at 10 bits/key per GB) the
+    # cogrouped per-bucket probe takes over.
+    bloom_broadcast_max_bytes: int = 1 << 30
     max_retry_attempts: int = 5  # reference src/warc_processor.py:45-46
     politeness: PolitenessConfig = PolitenessConfig()
     adaptive: AdaptiveConfig = AdaptiveConfig()

@@ -54,11 +54,17 @@ def bucket_of(key_col: str, cfg: EngineConfig = DEFAULT):
 
 
 def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing; all uint64 math."""
-    i = np.arange(k, dtype=np.uint64)[None, :]
-    return (
-        h1.astype(np.uint64)[:, None] + i * h2.astype(np.uint64)[:, None]
-    ) % np.uint64(m)
+    """(n, k) bit positions via double hashing: ``(h1 + i·h2) mod m``
+    computed overflow-free by reducing mod m BEFORE the multiply
+    (pmod(h1,m) + i·pmod(h2,m) stays < k·m ≪ 2^63). Bit-identical to the
+    JVM expression in :func:`probe_blooms_broadcast` — ANSI mode forbids
+    wrapping arithmetic there, so both sides use the reduced form; any
+    divergence would produce false NEGATIVES on probe."""
+    mm = np.int64(m)
+    h1m = (h1.astype(np.int64) % mm + mm) % mm
+    h2m = (h2.astype(np.int64) % mm + mm) % mm
+    i = np.arange(k, dtype=np.int64)[None, :]
+    return (h1m[:, None] + i * h2m[:, None]) % mm
 
 
 def build_blooms(
@@ -84,7 +90,7 @@ def build_blooms(
         m = (m + 7) // 8 * 8
         bits = np.zeros(m // 8, dtype=np.uint8)
         pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m).ravel()
-        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+        np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame(
             {
                 "bucket": [int(pdf["_bucket"].iat[0])],
@@ -149,8 +155,8 @@ def update_blooms(
         pos = _positions(new_pdf["_h1"].to_numpy(), new_pdf["_h2"].to_numpy(), k, m).ravel()
         np.bitwise_or.at(
             bits,
-            (pos >> np.uint64(3)).astype(np.int64),
-            (1 << (pos & np.uint64(7))).astype(np.uint8),
+            (pos >> 3).astype(np.int64),
+            (1 << (pos & 7)).astype(np.uint8),
         )
         return pd.DataFrame({"bucket": [bkt], "m": [m], "n": [n], "bits": [bits.tobytes()]})
 
@@ -160,6 +166,70 @@ def update_blooms(
         .cogroup(blooms.groupBy("bucket"))
         .applyInPandas(per_bucket, BLOOM_SCHEMA)
     )
+
+
+def probe_blooms_broadcast(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    key_col: str = "surt",
+    cfg: EngineConfig = DEFAULT,
+    out_col: str = "_maybe_seen",
+    bucket_out: str | None = None,
+) -> DataFrame:
+    """Pure-JVM Bloom probe: broadcast-join the per-bucket blobs and test
+    the k bit positions with codegen column expressions.
+
+    vs the cogrouped probe: NO shuffle of the candidate set, NO Python
+    stage — the k byte-extracts fuse into the enclosing
+    WholeStageCodegen, and the blob crosses the wire once per executor
+    (broadcast) instead of once per bucket-partition. This is the fast
+    path while the total filter fits a broadcast
+    (cfg.bloom_broadcast_max_bytes ≈ up to ~10^9 seen keys at 10 bits/key);
+    beyond that the frontier falls back to the cogrouped probe
+    (:func:`probe_blooms`), which never materializes the whole filter in
+    one place. Position arithmetic is pmod-of-wrapped-int64, bit-identical
+    to :func:`_positions`, so both probes read the same serialized blobs.
+
+    NULL-bits buckets (deferred overflow rebuild) degrade to all-maybe;
+    unknown buckets (empty filter) are definitely-new — same contract as
+    the cogrouped probe.
+    """
+    k = cfg.bloom_num_hashes
+    hashed = _hash_cols(candidates, key_col, cfg.num_host_buckets)
+    b = F.broadcast(
+        blooms.select(
+            F.col("bucket").alias("_bb"), F.col("m").alias("_bm"), F.col("bits").alias("_bbits")
+        )
+    )
+    j = hashed.join(b, F.col("_bucket") == F.col("_bb"), "left")
+    h1, h2, m = F.col("_h1"), F.col("_h2"), F.col("_bm")
+    # byte >> (pos % 8) via division by a power of two (shiftright needs a
+    # literal shift amount): byte ≤ 255 and divisor ∈ {1..128} are exact in
+    # double, so floor(byte / 2^(pos%8)) % 2 is the target bit.
+    pow2 = F.array(*[F.lit(1 << s) for s in range(8)])
+    h1m, h2m = F.pmod(h1, m), F.pmod(h2, m)  # overflow-free (ANSI-safe)
+    allset = None
+    for i in range(k):
+        pos = F.pmod(h1m + F.lit(i) * h2m, m)
+        byte = F.conv(
+            F.hex(F.substring(F.col("_bbits"), (F.floor(pos / 8) + 1).cast("int"), F.lit(1))),
+            16,
+            10,
+        ).cast("long")
+        divisor = F.element_at(pow2, F.pmod(pos, F.lit(8)).cast("int") + 1)
+        bit = F.floor(byte / divisor).cast("long") % 2 == 1
+        allset = bit if allset is None else (allset & bit)
+    maybe = (
+        F.when(F.col("_bb").isNull(), F.lit(False))
+        .when(F.col("_bbits").isNull(), F.lit(True))
+        .otherwise(allset)
+    )
+    out = j.withColumn(out_col, maybe)
+    keep = [*candidates.columns, out_col]
+    if bucket_out:
+        out = out.withColumnRenamed("_bucket", bucket_out)
+        keep.append(bucket_out)
+    return out.select(*keep)
 
 
 def merge_blooms(
@@ -213,8 +283,8 @@ def probe_blooms(
         m = int(bloom_pdf["m"].iat[0])
         bits = np.frombuffer(bloom_pdf["bits"].iat[0], dtype=np.uint8)
         pos = _positions(cand_pdf["_h1"].to_numpy(), cand_pdf["_h2"].to_numpy(), k, m)
-        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
-        mask = (1 << (pos & np.uint64(7))).astype(np.uint8)
+        byte_idx = (pos >> 3).astype(np.int64)
+        mask = (1 << (pos & 7)).astype(np.uint8)
         hit = (bits[byte_idx] & mask) == mask
         return cand_pdf.assign(**{out_col: hit.all(axis=1)})
 

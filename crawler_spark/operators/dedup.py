@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.config import DEFAULT, EngineConfig
-from crawler_spark.operators.bloom import probe_blooms
+from crawler_spark.operators.bloom import probe_blooms, probe_blooms_broadcast
 
 
 def first_wins(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
@@ -91,9 +91,17 @@ def filter_unseen_pruned(
     any Observation planted upstream would double-fire.
     """
     cand = candidates.where(F.col(key_col).isNotNull())
-    probed = probe_blooms(
-        cand, blooms, key_col, cfg, bucket_out="bucket"
-    ).persist()
+    # Probe strategy: broadcast+codegen while the filter set is small
+    # enough to ship to every executor; cogrouped per-bucket probe beyond
+    # that (no single place ever holds the whole filter). The size check
+    # reads the 1-row aggregate of the (tiny, B-row) blooms table.
+    total_bytes = (blooms.agg(F.sum("m")).first()[0] or 0) // 8
+    probe = (
+        probe_blooms_broadcast
+        if total_bytes <= cfg.bloom_broadcast_max_bytes
+        else probe_blooms
+    )
+    probed = probe(cand, blooms, key_col, cfg, bucket_out="bucket").persist()
     maybe_buckets = [
         r[0]
         for r in probed.where(F.col("_maybe_seen")).select("bucket").distinct().collect()

@@ -87,3 +87,38 @@ def test_merge_runs(spark):
     a = spark.createDataFrame([("d1", "u1")], "domain string, url string")
     b = spark.createDataFrame([("d1", "u9"), ("d2", "u2")], "domain string, url string")
     assert merge_runs(a, b).count() == 2
+
+
+@pytest.mark.spark
+def test_broadcast_probe_matches_cogroup_probe(spark):
+    """The pure-JVM broadcast probe and the cogrouped pandas probe must
+    agree bit-for-bit on the same serialized filters (same pmod-int64
+    position arithmetic)."""
+    from crawler_spark.operators.bloom import (
+        build_blooms,
+        probe_blooms,
+        probe_blooms_broadcast,
+    )
+
+    seen = spark.createDataFrame(
+        [(f"com,example,h{i % 97})/p/{i}",) for i in range(0, 4000, 2)], "surt string"
+    )
+    blooms = build_blooms(seen, cfg=CFG).cache()
+    cand = spark.createDataFrame(
+        [(f"com,example,h{i % 97})/p/{i}",) for i in range(1000, 3000)], "surt string"
+    )
+    a = {
+        (r["surt"], r["_maybe_seen"])
+        for r in probe_blooms(cand, blooms, cfg=CFG).collect()
+    }
+    b = {
+        (r["surt"], r["_maybe_seen"])
+        for r in probe_blooms_broadcast(cand, blooms, cfg=CFG).collect()
+    }
+    assert a == b
+    # all truly-seen rows flagged maybe (no false negatives) in BOTH
+    seen_set = {r["surt"] for r in seen.collect()}
+    for surt, maybe in b:
+        if surt in seen_set:
+            assert maybe
+    blooms.unpersist()
