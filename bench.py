@@ -49,18 +49,18 @@ FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_FRONTIER_PAGES", "50000"))
 FRONTIER_WORDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_WORDS", "60"))
 FRONTIER_SEEDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_SEEDS", "1000"))
 FRONTIER_BUDGET = 50
-FRONTIER_ROUNDS = 3
+FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROUNDS", "3"))
 
 # --scaling workloads (bigger: per-round compute must dominate fixed cost)
 SCALING_LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "4,16").split(",")
 )
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-S_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_S_CORPUS_PAGES", "300000"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+S_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_S_CORPUS_PAGES", "1000000"))
 S_CORPUS_WORDS = 600
-S_FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_PAGES", "600000"))
+S_FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_PAGES", "2000000"))
 S_FRONTIER_WORDS = 120
-S_FRONTIER_SEEDS = 12000
+S_FRONTIER_SEEDS = 50000
 
 # operator queries worth timing at sf0.1 (subset of __spark_entry__.queries
 # that stresses distinct physical shapes: agg, window, join, explode+join,

@@ -118,10 +118,17 @@ def canonicalize_one(url: str | None) -> dict[str, str | None]:
 
 
 @pandas_udf(CANON_SCHEMA)
-def canonicalize_udf(urls: pd.Series) -> pd.DataFrame:
+def _canonicalize_udf_raw(urls: pd.Series) -> pd.DataFrame:
     """Arrow-batched canonicalizer: url → struct<surt,host,domain,schema,path>."""
     rows = [canonicalize_one(u) for u in urls]
     return pd.DataFrame(rows, columns=["surt", "host", "domain", "schema", "path"])
+
+
+# Deterministic in fact, marked nondeterministic ON PURPOSE (same pin as
+# detector.detect_udf): extracting several fields from the returned struct
+# plus a null-filter otherwise splits the plan into TWO ArrowEvalPython
+# stages — the canonicalizer ran twice per row on the frontier hot path.
+canonicalize_udf = _canonicalize_udf_raw.asNondeterministic()
 
 
 def with_canonical(df, url_col: str = "url", out_col: str = "canon"):
