@@ -227,13 +227,26 @@ class FrontierCrawler:
         # 1. within-frontier dedupe: one candidate per surt. Order is fully
         #    deterministic: priority, then failure_count desc (a retrying
         #    row must beat a fresh link with the same surt so its attempt
-        #    count survives), then url as the total tie-break.
+        #    count survives), then url as the total tie-break. Expressed as
+        #    a min_by aggregate, NOT a window: the partial (map-side)
+        #    aggregate collapses duplicate surts before the shuffle — at a
+        #    10^10-row frontier where the same URL is re-discovered by many
+        #    pages per round, a row_number window would shuffle and sort
+        #    every raw row instead. (Lexicographic struct order = the
+        #    window's ORDER BY; priority/failure_count are never null.)
         obs_cand = Observation()
-        candidates = first_wins(
-            frontier,
-            ["surt"],
-            [F.col("priority").desc(), F.col("failure_count").desc(), F.col("url").asc()],
-        ).observe(obs_cand, F.count(F.lit(1)).alias("n"))
+        ord_key = F.struct(
+            (-F.col("priority")).alias("o1"),
+            (-F.col("failure_count")).alias("o2"),
+            F.col("url").alias("o3"),
+        )
+        payload = F.struct(*[F.col(c) for c in _FCOLS])
+        candidates = (
+            frontier.groupBy("surt")
+            .agg(F.min_by(payload, ord_key).alias("_p"))
+            .select("_p.*")
+            .observe(obs_cand, F.count(F.lit(1)).alias("n"))
+        )
 
         # 2. URL-seen anti-join: Bloom prefilter, exact confirm against
         #    Bloom-positive buckets only. The bucket-prune collect inside is
