@@ -45,9 +45,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_CORPUS_PAGES", "120000"))
 CORPUS_WORDS = int(os.environ.get("SPARK_GRAFT_CORPUS_WORDS", "240"))
-FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_FRONTIER_PAGES", "50000"))
+FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_FRONTIER_PAGES", "200000"))
 FRONTIER_WORDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_WORDS", "60"))
-FRONTIER_SEEDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_SEEDS", "1000"))
+FRONTIER_SEEDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_SEEDS", "4000"))
 FRONTIER_BUDGET = 50
 FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROUNDS", "3"))
 
