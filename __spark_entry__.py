@@ -391,11 +391,13 @@ def _q_media_stats(spark, sf_dir):
 
 
 def _q_corpus_classify(spark, sf_dir):
-    """Full crawl-corpus flagship on the synthetic generator (rows-only:
-    gzip/charset decode + detector are non-SQL; pytest oracles them)."""
+    """Full crawl-corpus flagship on the synthetic generator. Oracled by a
+    constant fixture derived from the row-at-a-time reference decode +
+    detector (tools/gen_corpus_fixture.py; re-derived in tests)."""
+    from crawler_spark.oracle.sqlgen import CORPUS_CLASSIFY_N_PAGES
     from crawler_spark.sources.corpus import generate_pages
 
-    pages = generate_pages(spark, 4_000, partitions=8)
+    pages = generate_pages(spark, CORPUS_CLASSIFY_N_PAGES, partitions=8)
     res = classify_bulk(pages, min_confidence="medium")
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
@@ -538,6 +540,10 @@ GROUP BY source""",
         "media_frame_sample": SG.sql_media_frame_sample(MEDIA_FRAME_EVERY_K),
         "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),
         "media_type_stats": SG.sql_media_stats(),
-        # corpus_classify: non-SQL (gzip/charset decode + Arrow detector)
-        # → rows-only check; pytest oracles it row-by-row.
+        # corpus_classify: the gzip/charset decode + Arrow detector are
+        # non-SQL, but the deterministic generator makes the expected
+        # histogram a constant — derived independently by the row-at-a-time
+        # reference oracles (tools/gen_corpus_fixture.py, re-checked by
+        # tests/test_corpus.py every run).
+        "corpus_classify": SG.sql_corpus_classify(),
     }

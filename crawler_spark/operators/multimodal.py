@@ -216,11 +216,27 @@ def frame_sample(media: DataFrame, every_k: int = 10, codec: str = "fake") -> Da
 
 
 def media_type_stats(features: DataFrame) -> DataFrame:
-    """Per-modality rollup of decoded features (post-decode aggregate)."""
-    return features.groupBy("media_type").agg(
-        F.count("*").alias("n"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("n_pixels"), 4).alias("avg_pixels"),
-        F.round(F.avg("n_samples"), 4).alias("avg_samples"),
-        F.round(F.avg("duration_s"), 4).alias("avg_duration_s"),
+    """Per-modality rollup of decoded features (post-decode aggregate).
+
+    Portability contract: every averaged quantity is an exact integer per
+    row (``n_pixels``, ``n_samples``, and microsecond-truncated duration),
+    so the aggregate sum is exact in a double (< 2^53) and therefore
+    independent of partial-aggregation fold order — Spark and any
+    scan-ordered engine produce bit-identical averages. Averaging the raw
+    IEEE ``duration_s`` doubles instead is fold-order dependent and flips
+    ``round(..., 4)`` at half boundaries (failed the cross-engine hash in
+    round 1).
+    """
+    return (
+        features.withColumn(
+            "duration_us", F.expr("CAST(n_frames AS BIGINT) * 1000000 div fps")
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_pixels"), 4).alias("avg_pixels"),
+            F.round(F.avg("n_samples"), 4).alias("avg_samples"),
+            F.round(F.avg("duration_us") / F.lit(1000000.0), 4).alias("avg_duration_s"),
+        )
     )

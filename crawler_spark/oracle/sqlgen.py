@@ -355,13 +355,13 @@ f AS (
          CASE WHEN media_type = 'image' THEN w * h END AS n_pixels,
          CASE WHEN media_type = 'audio' THEN (rate * ms) // 1000 END AS n_samples,
          CASE WHEN media_type = 'video'
-              THEN CAST(n_frames AS DOUBLE) / fps END AS duration_s
+              THEN (CAST(n_frames AS BIGINT) * 1000000) // fps END AS duration_us
   FROM m
 )
 SELECT media_type, count(*) AS n, sum(n_bytes) AS total_bytes,
        round(avg(n_pixels), 4) AS avg_pixels,
        round(avg(n_samples), 4) AS avg_samples,
-       round(avg(duration_s), 4) AS avg_duration_s
+       round(avg(duration_us) / 1000000.0, 4) AS avg_duration_s
 FROM f GROUP BY media_type"""
 
 
@@ -428,6 +428,27 @@ WHERE doc_id % 10 < 4
 # buildId (detector: max=3 → 'high'); medium carry next-route-announcer
 # (max=2 → 'medium'); low carry only /_next/ (max=1 → gated out at
 # min_confidence=medium); the rest are negative.
+
+
+# corpus_classify ground truth: the gzip/charset decode + Arrow detector
+# pipeline is not expressible in SQL, but the generator is deterministic
+# and partition-independent, so the expected confidence histogram over
+# generate_pages(n=4000) is a CONSTANT. tools/gen_corpus_fixture.py
+# derives it by running the row-at-a-time reference oracles
+# (oracle/reference_decode + oracle/reference_detector — independent of
+# the vectorized engine) over one numpy batch; tests/test_corpus.py
+# re-derives it every run so this fixture cannot drift silently.
+
+CORPUS_CLASSIFY_N_PAGES = 4_000
+CORPUS_CLASSIFY_EXPECTED = {"high": 298, "medium": 289}
+
+
+def sql_corpus_classify() -> str:
+    rows = ", ".join(
+        f"('{conf}', CAST({n} AS BIGINT))"
+        for conf, n in sorted(CORPUS_CLASSIFY_EXPECTED.items())
+    )
+    return f"SELECT confidence, n FROM (VALUES {rows}) AS t(confidence, n)"
 
 
 def sql_flagship() -> str:

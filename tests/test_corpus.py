@@ -84,3 +84,20 @@ def test_links_and_seeds_shapes(spark):
     seeds = generate_seeds(spark, 50, 500)
     assert seeds.count() == 50
     assert seeds.where(F.col("url").contains(".invalid")).count() >= 0
+
+
+def test_corpus_classify_fixture_matches_reference_oracle():
+    """The hardcoded corpus_classify fixture (sqlgen.CORPUS_CLASSIFY_EXPECTED)
+    must equal the histogram re-derived from the row-at-a-time reference
+    decode+detector — catches any drift in generator, detector, or fixture."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.gen_corpus_fixture import expected_histogram
+
+    from crawler_spark.oracle.sqlgen import (
+        CORPUS_CLASSIFY_EXPECTED,
+        CORPUS_CLASSIFY_N_PAGES,
+    )
+
+    assert expected_histogram(CORPUS_CLASSIFY_N_PAGES) == CORPUS_CLASSIFY_EXPECTED
