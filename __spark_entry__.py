@@ -390,6 +390,16 @@ def _q_media_stats(spark, sf_dir):
 # ------------------------------------------------- rows-only engine demos --
 
 
+def _q_warc_ingest(spark, sf_dir):
+    """Raw WARC-bytes ingest round trip: documents → member-gzip WARC
+    blobs (every 5th truncated mid-record) → tolerant pure-Python reader
+    in one mapInPandas stage → verification projection (oracle recomputes
+    survivors + text md5 in closed form)."""
+    from crawler_spark.sources.warc import warc_ingest_from_documents
+
+    return warc_ingest_from_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_corpus_classify(spark, sf_dir):
     """Full crawl-corpus flagship on the synthetic generator. Oracled by a
     constant fixture derived from the row-at-a-time reference decode +
@@ -439,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frames,
         "media_resize_plan": _q_media_resize,
         "media_type_stats": _q_media_stats,
+        "warc_ingest": _q_warc_ingest,
         "corpus_classify": _q_corpus_classify,
     }
 
@@ -540,6 +551,7 @@ GROUP BY source""",
         "media_frame_sample": SG.sql_media_frame_sample(MEDIA_FRAME_EVERY_K),
         "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),
         "media_type_stats": SG.sql_media_stats(),
+        "warc_ingest": SG.sql_warc_ingest(),
         # corpus_classify: the gzip/charset decode + Arrow detector are
         # non-SQL, but the deterministic generator makes the expected
         # histogram a constant — derived independently by the row-at-a-time

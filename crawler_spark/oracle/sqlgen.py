@@ -430,6 +430,35 @@ WHERE doc_id % 10 < 4
 # min_confidence=medium); the rest are negative.
 
 
+# warc_ingest: sources/warc.warc_ingest_from_documents builds one
+# member-gzip WARC blob per doc_id%16 group (records in doc_id order,
+# every 5th blob truncated inside its final record, doc_id%3==0 bodies
+# gzip-coded at the HTTP layer), then parses it back with the tolerant
+# reader. The oracle recomputes the surviving rows arithmetically: the
+# truncated blob drops exactly its max-doc_id record, and the decode
+# loop (utf-8 encode → [gzip] → parse → gunzip sniff → utf-8 decode) is
+# the identity on text, checked via md5.
+
+
+def sql_warc_ingest() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id, source, text, doc_id % 16 AS g,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) - 1 AS off,
+         max(doc_id) OVER (PARTITION BY doc_id % 16) AS gmax,
+         count(*) OVER (PARTITION BY doc_id % 16) AS gn
+  FROM documents
+)
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(off AS BIGINT) AS warc_offset,
+       CAST(200 AS INT) AS status,
+       'text/html; charset=utf-8' AS mime,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM g
+WHERE NOT (g % 5 = 0 AND gn > 1 AND doc_id = gmax)"""
+
+
 # corpus_classify ground truth: the gzip/charset decode + Arrow detector
 # pipeline is not expressible in SQL, but the generator is deterministic
 # and partition-independent, so the expected confidence histogram over
