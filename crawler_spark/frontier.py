@@ -108,6 +108,35 @@ METRICS_SCHEMA = (
 )
 
 
+def classify_failure_reason(error_col) -> F.Column:
+    """The reference's error-string → FailureReason chain
+    (src/utils/retry_handler.py:262-275), as one JVM when-chain over the
+    lowered error text. Order matters: timeout before connection/network
+    before http/status before parse; anything else is 'unknown'."""
+    e = F.lower(error_col)
+    return (
+        F.when(e.contains("timeout"), "timeout")
+        .when(e.contains("connection") | e.contains("network"), "connection_error")
+        .when(e.contains("http") | e.contains("status"), "http_error")
+        .when(e.contains("parse"), "parse_error")
+        .otherwise("unknown")
+    )
+
+
+def fetch_error_string(host_col, url_col) -> F.Column:
+    """Deterministic error text for a missed fetch in the simulated crawl.
+
+    A real fetch stage records the transport exception; against a
+    materialized corpus the miss context is all there is: an unresolvable
+    host (.invalid — the seed generator's planted dead hosts) would have
+    failed name resolution (→ connection_error through the classifier),
+    anything else resolved but has no such page (→ http_error)."""
+    return F.when(
+        host_col.endswith(".invalid"),
+        F.concat(F.lit("connection error: name resolution failed for "), host_col),
+    ).otherwise(F.concat(F.lit("http error: status 404 for "), url_col))
+
+
 class FrontierCrawler:
     """Iterative BFS crawl over snapshot tables. Resumable."""
 
@@ -121,7 +150,17 @@ class FrontierCrawler:
         cfg: EngineConfig = DEFAULT,
         budget: int | None = None,
         min_confidence: str = "medium",
+        adaptive: bool = False,
     ):
+        """adaptive=True enables the AdaptiveRateLimiter semantics
+        (reference src/utils/rate_limiter.py:184-207): each round's
+        politeness budget derives from a rate that halves after any failed
+        fetch and grows ×increase_factor after a fully-successful round —
+        computed from the previous round's RoundMetrics and persisted in
+        state.json so resume keeps the adapted rate. Default off, matching
+        the reference, whose crawler also constructs the plain fixed-rate
+        limiter (src/utils/__init__.py exports AdaptiveRateLimiter but
+        nothing instantiates it)."""
         self.spark = spark
         self.store = store
         self.pages = pages
@@ -136,6 +175,12 @@ class FrontierCrawler:
         self.cfg = cfg
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence
+        self.adaptive = adaptive
+        # rate in request/s units (the reference's limiter currency); the
+        # round budget is always burst + rate·round_duration
+        self._rate = max(
+            0.0, (self.budget - cfg.politeness.burst) / cfg.politeness.round_duration_s
+        )
         self._last_max_host: int | None = None
         # One fetchable copy per URL: the corpus plants ~5% cross-WARC
         # duplicates; a crawl fetches a URL once, deterministically the
@@ -205,7 +250,14 @@ class FrontierCrawler:
             self._last_max_host = int(row[0]) if row else None
         except Exception:
             self._last_max_host = None
+        if self.adaptive and "rate" in state:
+            self._rate = float(state["rate"])
+            self.budget = self._budget_from_rate()
         return int(state["round"])
+
+    def _budget_from_rate(self) -> int:
+        p = self.cfg.politeness
+        return max(1, int(p.burst + self._rate * p.round_duration_s))
 
     # ------------------------------------------------------------ round --
     def run_round(self, round_no: int, measure: bool = True) -> RoundMetrics:
@@ -322,12 +374,16 @@ class FrontierCrawler:
             F.spark_partition_id().alias("partition_id"),
         )
 
-        # 7. failures: missing pages retry up to max_attempts
+        # 7. failures: missing pages retry up to max_attempts; the reason
+        #    comes from the reference's error-string classifier over the
+        #    miss context (dead host vs absent page).
         fail_rows = missing.withColumn("failure_count", F.col("failure_count") + 1)
         retryable = fail_rows.where(F.col("failure_count") < cfg.max_retry_attempts)
         failures_log = fail_rows.select(
             "url",
-            F.lit("connection_error").alias("failure_reason"),
+            classify_failure_reason(
+                fetch_error_string(F.col("host"), F.col("url"))
+            ).alias("failure_reason"),
             "failure_count",
             F.lit(round_no).alias("round"),
             (F.col("failure_count") >= cfg.max_retry_attempts).alias("is_permanent"),
@@ -474,9 +530,19 @@ class FrontierCrawler:
         metrics_df = self.spark.createDataFrame([m.row()], METRICS_SCHEMA)
         _tr("obs_read")
         store.write("metrics", metrics_df, meta={"round": round_no}, append=True)
+        if self.adaptive:
+            # next round's budget from this round's outcome (reference
+            # AdaptiveRateLimiter recast; persisted below so resume keeps it)
+            from crawler_spark.operators.politeness import adaptive_budget
+
+            self._rate = adaptive_budget(
+                self._rate, failures_prev=m.missing, successes_prev=m.fetched, cfg=cfg
+            )
+            self.budget = self._budget_from_rate()
         store.commit_state(
             {
                 "round": round_no,
+                "rate": self._rate,
                 "tables": {
                     t: self.store.current_version(t)
                     for t in ("frontier", "url_seen", "blooms", "results", "failures", "metrics")

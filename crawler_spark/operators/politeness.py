@@ -94,15 +94,26 @@ def admit_per_host(
         salt = F.pmod(F.xxhash64(F.col("surt"), F.lit(7)), F.lit(cfg.skew_salts))
         w1 = Window.partitionBy(F.col(host_col), salt).orderBy(*order)
         df = df.withColumn("_rn1", F.row_number().over(w1))
+        if load_observation is not None:
+            # Observe the PRE-filter phase-1 load: max subgroup size ×
+            # salts ≈ the hottest host's true candidate count (slight
+            # over-estimate under hash imbalance — safe direction: salting
+            # stays latched while the host is hot). Observing the phase-2
+            # window instead would read a value capped at salts·budget,
+            # which sits BELOW any threshold > salts·budget and would
+            # toggle salting off every other round (the oscillation bug).
+            df = df.observe(
+                load_observation,
+                (F.max("_rn1") * F.lit(cfg.skew_salts)).alias("max_load"),
+            )
+            load_observation = None
         deferred_parts.append(df.where(F.col("_rn1") > eff_budget).drop("_rn1"))
         df = df.where(F.col("_rn1") <= eff_budget).drop("_rn1")
 
     w2 = Window.partitionBy(host_col).orderBy(*order)
     df = df.withColumn("_rn2", F.row_number().over(w2))
     if load_observation is not None:
-        # NOTE: after phase-1 salting, _rn2 max is capped at salts·budget
-        # per host — still ≥ the admitted load, which is what the skew
-        # decision needs (a capped max over threshold still trips it).
+        # unsalted path: _rn2 max pre-filter IS the hottest host's load
         df = df.observe(load_observation, F.max("_rn2").alias("max_load"))
     admitted = df.where(F.col("_rn2") <= eff_budget).drop("_rn2")
     deferred_parts.append(df.where(F.col("_rn2") > eff_budget).drop("_rn2"))

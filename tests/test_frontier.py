@@ -161,7 +161,102 @@ def test_metrics_and_failures_recorded(spark, corpus, tmp_path):
     mt = store.read(spark, "metrics").orderBy("round").collect()
     assert [r["round"] for r in mt] == [1, 2]
     assert all(r["seconds"] > 0 for r in mt)
-    # seeds plant ~2% dead hosts → failures recorded with reason
+    # seeds plant ~2% dead hosts → failures recorded with a reference-enum
+    # reason (dead host → connection_error, absent page → http_error)
     fails = store.read(spark, "failures")
     if fails.count() > 0:
-        assert {r["failure_reason"] for r in fails.collect()} == {"connection_error"}
+        reasons = {r["failure_reason"] for r in fails.collect()}
+        assert reasons <= {"timeout", "connection_error", "http_error", "parse_error", "unknown"}
+        assert reasons & {"connection_error", "http_error"}
+
+
+@pytest.mark.spark
+def test_failure_reason_classifier_matches_reference_chain(spark):
+    """classify_failure_reason reproduces retry_handler.py:262-275 exactly
+    (order: timeout > connection/network > http/status > parse > unknown)."""
+    from crawler_spark.frontier import classify_failure_reason
+
+    cases = [
+        ("Read TIMEOUT after 30s", "timeout"),
+        ("Connection refused", "connection_error"),
+        ("network unreachable", "connection_error"),
+        ("HTTP 503 from upstream", "http_error"),
+        ("bad status line", "http_error"),
+        ("failed to parse record", "parse_error"),
+        ("connection timeout", "timeout"),  # timeout wins over connection
+        ("weird explosion", "unknown"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "err string")
+    got = [r[0] for r in df.select(classify_failure_reason(F.col("err"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+@pytest.mark.spark
+def test_adaptive_budget_wiring_and_failure_reasons(spark, corpus, tmp_path):
+    """adaptive=True: a round with failed fetches roughly halves the next
+    round's budget (reference AdaptiveRateLimiter ×0.5) and the failures
+    table carries ≥2 distinct reference-classified reasons."""
+    from crawler_spark.config import AdaptiveConfig
+
+    pages, links, _, robots = corpus
+    page_urls = [r["url"] for r in pages.select("url").distinct().limit(12).collect()]
+    seed_rows = [(i, u) for i, u in enumerate(page_urls)]
+    seed_rows += [(100, "https://dead0.invalid/"), (101, "https://dead1.invalid/x")]
+    # valid-looking hosts with no such page → http_error path
+    seed_rows += [(102, page_urls[0] + "zzz-missing"), (103, page_urls[1] + "qqq-missing")]
+    seeds = spark.createDataFrame(seed_rows, "seed_id long, url string")
+
+    cfg = EngineConfig(
+        num_host_buckets=8, skew_threshold=200, skew_salts=4, max_retry_attempts=3,
+        adaptive=AdaptiveConfig(min_rate=0.01),
+    )
+    store = SnapshotStore(str(tmp_path / "wh_adaptive"))
+    crawler = FrontierCrawler(
+        spark, store, pages, links=links, robots=robots, cfg=cfg, budget=65,
+        adaptive=True,
+    )
+    crawler.init_from_seeds(seeds)
+    b0 = crawler.budget
+    crawler.run(2, from_round=0)
+
+    # round 1 had missing fetches → rate halved → budget shrank ~half
+    assert crawler.budget < b0
+    assert crawler.budget == max(1, int(5 + (65 - 5) / 30 * 0.5 * 0.5 * 30)) or \
+        crawler.budget <= int(b0 * 0.6) + 5
+
+    reasons = {r["failure_reason"] for r in store.read(spark, "failures").collect()}
+    assert "connection_error" in reasons and "http_error" in reasons
+
+    # resume restores the adapted rate, not the constructor budget
+    crawler2 = FrontierCrawler(
+        spark, store, pages, links=links, robots=robots, cfg=cfg, budget=65,
+        adaptive=True,
+    )
+    crawler2.resume()
+    assert crawler2.budget == crawler.budget
+    crawler.close()
+    crawler2.close()
+
+
+@pytest.mark.spark
+def test_salted_load_observation_not_capped(spark):
+    """ADVICE fix: with phase-1 salting active, the observed max_load must
+    reflect the TRUE hottest-host candidate count (≈ pre-salt load), not
+    the phase-2 value capped at salts·budget — otherwise sticky salting
+    oscillates off every other round."""
+    from pyspark.sql import Observation
+
+    from crawler_spark.config import EngineConfig
+    from crawler_spark.operators.politeness import admit_per_host
+
+    cfg = EngineConfig(skew_salts=4, skew_threshold=100)
+    n = 2000  # one mega-host with 2000 candidates, budget 10
+    rows = [("h.com", f"surt/{i:05d}", f"https://h.com/{i}", float(-i)) for i in range(n)]
+    df = spark.createDataFrame(rows, "host string, surt string, url string, priority double")
+    obs = Observation()
+    res = admit_per_host(df, budget=10, cfg=cfg, force_salting=True, load_observation=obs)
+    assert res.admitted.count() == 10
+    max_load = int(obs.get["max_load"])
+    # capped phase-2 value would be ≤ salts*budget = 40; the pre-salt
+    # estimate must be ≈ n (within hash-imbalance slack), far above it
+    assert max_load > 1000, max_load
