@@ -390,6 +390,26 @@ def _q_media_stats(spark, sf_dir):
 # ------------------------------------------------- rows-only engine demos --
 
 
+def _q_cdx_latest_index(spark, sf_dir):
+    """Index-of-indexes scan: catalog of available crawls → newest id
+    (reference src/cdx/client.py:32-52). The corpus splits into 5
+    synthetic monthly crawls keyed on doc_id."""
+    from crawler_spark.plans.targeted import crawl_catalog, latest_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("CC-MAIN-2026-"),
+            F.lpad(((F.col("doc_id") % 5) + 1).cast("string"), 2, "0"),
+        ).alias("crawl_id"),
+        F.expr(
+            "timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)"
+        ).alias("warc_ts"),
+    )
+    return latest_index(crawl_catalog(pages, crawl_col=F.col("crawl_id")))
+
+
 def _q_warc_ingest(spark, sf_dir):
     """Raw WARC-bytes ingest round trip: documents → member-gzip WARC
     blobs (every 5th truncated mid-record) → tolerant pure-Python reader
@@ -450,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": _q_media_resize,
         "media_type_stats": _q_media_stats,
         "warc_ingest": _q_warc_ingest,
+        "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
     }
 
@@ -552,6 +573,7 @@ GROUP BY source""",
         "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),
         "media_type_stats": SG.sql_media_stats(),
         "warc_ingest": SG.sql_warc_ingest(),
+        "cdx_latest_index": SG.sql_cdx_latest_index(),
         # corpus_classify: the gzip/charset decode + Arrow detector are
         # non-SQL, but the deterministic generator makes the expected
         # histogram a constant — derived independently by the row-at-a-time

@@ -213,10 +213,16 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
 
 def _scaling() -> dict:
     """Interleaved best-of-N at two parallelism levels over a SHARED
-    pre-generated corpus; per-rep hypervisor steal%% recorded."""
+    pre-generated corpus; per-rep hypervisor steal% recorded."""
     from crawler_spark.session import get_spark
 
     levels, reps = SCALING_LEVELS, SCALING_REPS
+    if len(levels) != 2 or levels[0] >= levels[1]:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALING_LEVELS must be exactly two increasing core "
+            f"counts (got {levels!r}) — validated up front so a bad value "
+            "fails before the expensive corpus generation"
+        )
     out: dict = {"levels": list(levels), "reps": []}
     fast = _fast_tmp()
     with tempfile.TemporaryDirectory(prefix="bench_scaling_", dir=fast) as tmp:
@@ -293,7 +299,7 @@ def _write_bench_md(sc: dict) -> None:
         f"so the honest N-vs-4N pair within entitlement is {lo} vs {hi}).",
         "Co-tenant load swings minute-to-minute, so runs are interleaved",
         "A/B and the BEST rep per level is compared (best-of approximates",
-        "the unloaded machine). Per-rep steal%% below. Scratch (shuffle",
+        "the unloaded machine). Per-rep steal% below. Scratch (shuffle",
         "spill + snapshot tables) lives on tmpfs: the box's ONE shared",
         "virtual disk serializes I/O that on a real cluster goes to",
         "executor-local NVMe and scales with the cluster.",

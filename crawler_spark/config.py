@@ -50,6 +50,12 @@ class EngineConfig:
     # Bloom prefilter sizing (bits per key / hash count) for url_seen.
     bloom_bits_per_key: int = 10
     bloom_num_hashes: int = 6
+    # Per-bucket bloom blob ceiling. num_host_buckets is only the FLOOR of
+    # the bucket count: the frontier doubles it (rebucketing seen+blooms,
+    # a new snapshot) whenever the running seen estimate would push a
+    # bucket's blob past this — at 10^10 seen keys a fixed 64-bucket
+    # layout would mean ~200 MB single-binary-cell blobs.
+    bloom_max_blob_bytes: int = 16 << 20
     # Probe strategy switchover: while the whole filter set fits under
     # this many bytes it is broadcast and probed JVM-side (no shuffle,
     # no Python); beyond it (≈10^9 seen keys at 10 bits/key per GB) the

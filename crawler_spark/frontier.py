@@ -53,7 +53,13 @@ from pyspark.sql import types as T
 from crawler_spark.config import DEFAULT, EngineConfig
 from crawler_spark.functions.detector import confidence_rank, detect_udf
 from crawler_spark.functions.url import canonicalize_udf
-from crawler_spark.operators.bloom import build_blooms, update_blooms
+from crawler_spark.operators.bloom import (
+    BLOOM_HASH_VERSION,
+    bucket_of,
+    build_blooms,
+    required_buckets,
+    update_blooms,
+)
 from crawler_spark.operators.dedup import filter_unseen_pruned, first_wins
 from crawler_spark.operators.politeness import admit_per_host
 from crawler_spark.operators.robots import budget_from_crawl_delay, gate_tag
@@ -182,6 +188,11 @@ class FrontierCrawler:
             0.0, (self.budget - cfg.politeness.burst) / cfg.politeness.round_duration_s
         )
         self._last_max_host: int | None = None
+        # Bucket layout scales with the seen table: cfg.num_host_buckets is
+        # the floor; required_buckets doubles it as the running seen count
+        # grows so per-bucket bloom blobs stay ≤ cfg.bloom_max_blob_bytes.
+        self._num_buckets = cfg.num_host_buckets
+        self._seen_total = 0
         # One fetchable copy per URL: the corpus plants ~5% cross-WARC
         # duplicates; a crawl fetches a URL once, deterministically the
         # first copy in file order. Persisted: the window over the corpus
@@ -201,6 +212,20 @@ class FrontierCrawler:
             self.robots.unpersist()
 
     # ------------------------------------------------------------ setup --
+    def _rcfg(self) -> EngineConfig:
+        """Round config: the engine config with the CURRENT bucket count
+        (dynamic; see required_buckets)."""
+        from dataclasses import replace
+
+        return replace(self.cfg, num_host_buckets=self._num_buckets)
+
+    def _bloom_meta(self, round_no: int) -> dict:
+        return {
+            "round": round_no,
+            "hash_version": BLOOM_HASH_VERSION,
+            "num_buckets": self._num_buckets,
+        }
+
     def _canonical_frontier(self, urls: DataFrame, depth_col, priority_col) -> DataFrame:
         """urls(url[, ...]) → frontier rows with canonical keys."""
         return (
@@ -227,10 +252,14 @@ class FrontierCrawler:
         empty_seen = self.spark.createDataFrame([], SEEN_SCHEMA)
         self.store.write("frontier", frontier, meta={"round": 0})
         self.store.write("url_seen", empty_seen, meta={"round": 0})
-        self.store.write("blooms", build_blooms(empty_seen, cfg=self.cfg), meta={"round": 0})
+        self.store.write(
+            "blooms", build_blooms(empty_seen, cfg=self._rcfg()), meta=self._bloom_meta(0)
+        )
         self.store.commit_state(
             {
                 "round": 0,
+                "num_buckets": self._num_buckets,
+                "seen_total": 0,
                 "tables": {t: self.store.current_version(t) for t in ("frontier", "url_seen", "blooms")},
             }
         )
@@ -253,6 +282,25 @@ class FrontierCrawler:
         if self.adaptive and "rate" in state:
             self._rate = float(state["rate"])
             self.budget = self._budget_from_rate()
+        self._num_buckets = int(state.get("num_buckets", self.cfg.num_host_buckets))
+        self._seen_total = int(state.get("seen_total", -1))
+        if self._seen_total < 0:  # pre-tracking store: one count at resume
+            self._seen_total = self.store.read(self.spark, "url_seen").count()
+        # Bloom blobs from a different bit-position scheme would yield
+        # false NEGATIVES on probe (silent url_seen breakage) — rebuild
+        # from the exact seen table on any stamp mismatch.
+        meta = self.store.meta("blooms")
+        if meta.get("hash_version") != BLOOM_HASH_VERSION or (
+            meta.get("num_buckets") not in (None, self._num_buckets)
+        ):
+            seen = self.store.read(self.spark, "url_seen")
+            self.store.write(
+                "blooms",
+                build_blooms(seen, cfg=self._rcfg(), headroom=4),
+                meta=self._bloom_meta(int(state["round"])),
+            )
+            state["tables"]["blooms"] = self.store.current_version("blooms")
+            self.store.commit_state(state)
         return int(state["round"])
 
     def _budget_from_rate(self) -> int:
@@ -271,6 +319,7 @@ class FrontierCrawler:
             m.trace[name] = round(now - _tprev[0], 2)
             _tprev[0] = now
         spark, store, cfg = self.spark, self.store, self.cfg
+        rcfg = self._rcfg()  # cfg with the current (dynamic) bucket count
 
         frontier = store.read(spark, "frontier")
         seen = store.read(spark, "url_seen")
@@ -304,7 +353,7 @@ class FrontierCrawler:
         #    Bloom-positive buckets only. The bucket-prune collect inside is
         #    the round's first job; it fills the probed cache and fires
         #    obs_cand.
-        ur = filter_unseen_pruned(candidates, seen, blooms, cfg=cfg)
+        ur = filter_unseen_pruned(candidates, seen, blooms, cfg=rcfg)
         _tr("prune_probe")
         unseen = ur.unseen
 
@@ -469,7 +518,7 @@ class FrontierCrawler:
             # that would overflow their target FP rate are rebuilt from the
             # exact table (amortized-rare: fresh buckets carry 4× headroom).
             delta = store.read_delta(spark, "url_seen", seen_version)
-            new_blooms = update_blooms(blooms, delta, cfg=cfg).persist()
+            new_blooms = update_blooms(blooms, delta, cfg=rcfg).persist()
             overflow = [
                 r[0]
                 for r in new_blooms.where(F.col("bits").isNull()).select("bucket").collect()
@@ -477,7 +526,7 @@ class FrontierCrawler:
             if overflow:
                 rebuilt = build_blooms(
                     store.read(spark, "url_seen").where(F.col("bucket").isin(overflow)),
-                    cfg=cfg,
+                    cfg=rcfg,
                     headroom=4,
                 )
                 final_blooms = new_blooms.where(
@@ -485,7 +534,7 @@ class FrontierCrawler:
                 ).unionByName(rebuilt)
             else:
                 final_blooms = new_blooms
-            store.write("blooms", final_blooms, meta={"round": round_no})
+            store.write("blooms", final_blooms, meta=self._bloom_meta(round_no))
             new_blooms.unpersist()
 
         from concurrent.futures import ThreadPoolExecutor
@@ -530,6 +579,31 @@ class FrontierCrawler:
         metrics_df = self.spark.createDataFrame([m.row()], METRICS_SCHEMA)
         _tr("obs_read")
         store.write("metrics", metrics_df, meta={"round": round_no}, append=True)
+
+        # Bucket-layout maintenance: double the bucket count whenever the
+        # running seen total would push a bloom blob past the byte ceiling,
+        # rewriting seen (new bucket column, bucket-sorted) and rebuilding
+        # blooms as new snapshot versions. Geometric growth → amortized
+        # O(1) rewrites per key, like a vector resize.
+        self._seen_total += int(obs_seen.get["n"] or 0)
+        need_b = required_buckets(self._seen_total, cfg)
+        if need_b > self._num_buckets:
+            self._num_buckets = need_b
+            rcfg2 = self._rcfg()
+            rebucketed = (
+                store.read(spark, "url_seen")
+                .withColumn("bucket", bucket_of("surt", rcfg2))
+                .sortWithinPartitions("bucket")
+            )
+            store.write(
+                "url_seen", rebucketed, meta={"round": round_no, "rebucketed_to": need_b}
+            )
+            store.write(
+                "blooms",
+                build_blooms(store.read(spark, "url_seen"), cfg=rcfg2, headroom=4),
+                meta=self._bloom_meta(round_no),
+            )
+
         if self.adaptive:
             # next round's budget from this round's outcome (reference
             # AdaptiveRateLimiter recast; persisted below so resume keeps it)
@@ -543,6 +617,8 @@ class FrontierCrawler:
             {
                 "round": round_no,
                 "rate": self._rate,
+                "num_buckets": self._num_buckets,
+                "seen_total": self._seen_total,
                 "tables": {
                     t: self.store.current_version(t)
                     for t in ("frontier", "url_seen", "blooms", "results", "failures", "metrics")

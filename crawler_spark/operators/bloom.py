@@ -35,6 +35,27 @@ from crawler_spark.config import DEFAULT, EngineConfig
 
 BLOOM_SCHEMA = "bucket int, m long, n long, bits binary"
 
+# Bit-position scheme version. v2 = mod-reduced int64 double hashing
+# (_positions below); v1 blobs (uint64-wrap arithmetic) place bits
+# differently, so probing them with v2 arithmetic yields false NEGATIVES —
+# silently breaking url_seen exactness. Persisted stores stamp this in the
+# blooms table meta; a resume that finds a different (or missing) stamp
+# must rebuild blooms from the exact seen table before probing.
+BLOOM_HASH_VERSION = 2
+
+
+def required_buckets(total_keys: int, cfg: EngineConfig = DEFAULT, headroom: int = 4) -> int:
+    """Smallest power-of-two multiple of cfg.num_host_buckets that keeps
+    the expected per-bucket bloom blob under cfg.bloom_max_blob_bytes at
+    ``total_keys`` (with the incremental-update headroom factor). The
+    frontier rebuckets seen+blooms when this outgrows the current count —
+    growth is geometric, so rebuild cost amortizes like a vector resize."""
+    bytes_per_key = cfg.bloom_bits_per_key * headroom / 8
+    b = max(1, cfg.num_host_buckets)
+    while total_keys * bytes_per_key / b > cfg.bloom_max_blob_bytes:
+        b *= 2
+    return b
+
 
 def _hash_cols(df: DataFrame, key_col: str, num_buckets: int) -> DataFrame:
     return df.withColumns(

@@ -430,6 +430,20 @@ WHERE doc_id % 10 < 4
 # min_confidence=medium); the rest are negative.
 
 
+# cdx_latest_index: the documents corpus is partitioned into 5 synthetic
+# monthly crawls (doc_id % 5); the catalog scan + newest-first pick
+# (reference src/cdx/client.py:32-52) reduce to a groupBy + max.
+
+
+def sql_cdx_latest_index() -> str:
+    return """
+SELECT regexp_replace(crawl_id, '^CC-MAIN-', '') AS latest, n_records FROM (
+  SELECT 'CC-MAIN-2026-' || lpad(CAST(doc_id % 5 + 1 AS VARCHAR), 2, '0') AS crawl_id,
+         count(*) AS n_records
+  FROM documents GROUP BY 1
+) ORDER BY crawl_id DESC LIMIT 1"""
+
+
 # warc_ingest: sources/warc.warc_ingest_from_documents builds one
 # member-gzip WARC blob per doc_id%16 group (records in doc_id order,
 # every 5th blob truncated inside its final record, doc_id%3==0 bodies

@@ -113,6 +113,38 @@ def targeted_search(
     return classify_bulk(hits, min_confidence=min_confidence, dedupe="global")
 
 
+def crawl_catalog(pages: DataFrame, crawl_col: Column | None = None) -> DataFrame:
+    """Index-of-indexes (reference src/cdx/client.py:32-41): the catalog of
+    available crawl indexes with per-crawl stats. In Common Crawl this is
+    collinfo.json; here it derives from the corpus itself — one row per
+    crawl id with its record count and time span (an Iceberg
+    snapshot-catalog scan at production)."""
+    cid = crawl_col if crawl_col is not None else F.regexp_extract(
+        F.col("warc_source"), r"(CC-[A-Z]+-[0-9-]+)", 1
+    )
+    return (
+        pages.groupBy(cid.alias("crawl_id"))
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("warc_ts").alias("from_ts"),
+            F.max("warc_ts").alias("to_ts"),
+        )
+    )
+
+
+def latest_index(catalog: DataFrame) -> DataFrame:
+    """get_latest_index (reference src/cdx/client.py:43-52): newest crawl
+    first, id with the 'CC-MAIN-' prefix stripped. One row."""
+    return (
+        catalog.orderBy(F.desc("crawl_id"))
+        .limit(1)
+        .select(
+            F.regexp_replace("crawl_id", r"^CC-MAIN-", "").alias("latest"),
+            "n_records",
+        )
+    )
+
+
 def per_domain_search(
     pages: DataFrame,
     domains: DataFrame,
@@ -127,13 +159,29 @@ def per_domain_search(
     domains: DataFrame with a ``domain`` column.
     Returns cdx rows, ≤ limit_per_domain per domain, in (urlkey, ts) order
     — the deterministic page the reference's stream order implies.
+
+    Join strategy: the domain predicate ``host = d OR host LIKE '%.d'``
+    is a non-equi OR — as a join condition it plans as a
+    BroadcastNestedLoopJoin, O(cdx × domains) comparisons (quadratic at a
+    10^6-domain seed file). Instead each host explodes into its
+    dot-boundary suffix chain (``a.b.c`` → a.b.c, b.c, c — ≤ ~5 rows) and
+    joins on ``suffix = domain`` — an equi-key, so Catalyst plans a
+    BroadcastHashJoin: linear in cdx rows, O(1) probe per suffix. The
+    exploded suffix set matches the OR predicate exactly (suffixes align
+    at label boundaries), including a host matching several listed
+    domains appearing once per match.
     """
     cdx = cdx_from_pages(pages)
     if filter_status is not None:
         cdx = cdx.where(F.col("status") == filter_status)
     d = F.broadcast(domains.select(F.col("domain").alias("_dom")).distinct())
-    joined = cdx.join(
-        d, (F.col("host") == F.col("_dom")) | F.col("host").endswith(F.concat(F.lit("."), F.col("_dom"))),
+    labels = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    joined = cdx.withColumn("_suffix", F.explode(suffixes)).join(
+        d, F.col("_suffix") == F.col("_dom")
     )
     w = Window.partitionBy("_dom").orderBy("urlkey", "ts")
     return (

@@ -14,13 +14,33 @@ Design:
   so batch and streaming share it (the point of the DataFrame API).
 - per-WARC dedupe is a window over (warc_source, url); windows aren't
   supported in streaming, so the streaming path uses ``foreachBatch`` and
-  applies the batch dedupe within each micro-batch PLUS an idempotent
-  anti-join against already-emitted results (exact, like url_seen).
-  Cross-batch duplicate suppression therefore matches the batch flagship
-  run (verified in tests/test_streaming.py).
+  applies the batch dedupe within each micro-batch PLUS cross-batch
+  exactly-once suppression. Cross-batch duplicate suppression therefore
+  matches the batch flagship run (verified in tests/test_streaming.py).
 - watermark/event-time: a late-data variant aggregates detections per
   (10-min warc_ts tumbling window × confidence) with a watermark — the
   shape a live crawl monitor needs.
+
+Exactly-once design (per-batch work bounded, NOT O(total emitted)):
+
+- each batch writes its own idempotent delta dir ``out/batch=<id>`` with
+  mode=overwrite — a checkpoint replay of the same batch overwrites the
+  same directory, so a crash between the output write and the state
+  commit can never duplicate output rows;
+- cross-batch dedupe state is a compact (warc_source, url, bucket) key
+  table + per-bucket Bloom sidecars in a SnapshotStore next to the
+  output. Batch results are Bloom-probed JVM-side (broadcast, bounded
+  blob bytes); definitely-new rows skip the seen table entirely, and
+  only Bloom-positive rows run the exact confirm anti-join, against just
+  their buckets (partition-pruned). The previous design re-read and
+  distinct-ed the ENTIRE output per micro-batch — O(total emitted
+  so far) work per batch, forever growing; this one reads O(bloom
+  bytes + candidate buckets);
+- all state tables commit atomically per batch (SnapshotStore
+  commit_state); a replayed already-committed batch is detected by its
+  batch_id and skipped, and a half-written batch is rolled back by
+  restore_state. Unexpected state-read errors PROPAGATE (failing the
+  batch so the checkpoint retries) instead of being swallowed.
 """
 
 from __future__ import annotations
@@ -28,8 +48,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_spark.config import DEFAULT, EngineConfig
+from crawler_spark.operators.bloom import (
+    BLOOM_SCHEMA,
+    probe_blooms_broadcast,
+    update_blooms,
+)
 from crawler_spark.plans.flagship import classify_bulk
 from crawler_spark.sources.corpus import PAGES_SCHEMA
+from crawler_spark.sources.tables import SnapshotStore
 
 
 def read_pages_stream(
@@ -41,6 +68,10 @@ def read_pages_stream(
     return r.parquet(src_dir)
 
 
+def _key_col():
+    return F.concat_ws("\x00", "warc_source", "url")
+
+
 def stream_classify(
     spark: SparkSession,
     src_dir: str,
@@ -48,25 +79,98 @@ def stream_classify(
     checkpoint_dir: str,
     min_confidence: str = "medium",
     available_now: bool = True,
+    state_dir: str | None = None,
+    cfg: EngineConfig = DEFAULT,
 ):
     """Incrementally classify newly-arrived page files into ``out_dir``.
 
     Returns the StreamingQuery. ``available_now=True`` drains everything
     currently in the source then stops (testable, resumable); False runs
-    continuously. Exactly-once per (warc_source, url) across micro-batches:
-    the foreachBatch sink dedupes within the batch (flagship policy) and
-    anti-joins what earlier batches already wrote.
+    continuously. Exactly-once per (warc_source, url) across micro-batches
+    and across checkpoint replays — see the module docstring for the
+    bounded-state design. Read results with
+    ``spark.read.parquet(out_dir)`` (each batch is a ``batch=<id>``
+    partition).
     """
     pages = read_pages_stream(spark, src_dir)
+    store = SnapshotStore(state_dir or out_dir.rstrip("/") + "_state")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        res = classify_bulk(batch_df, min_confidence=min_confidence)
-        try:
-            prev = spark.read.parquet(out_dir).select("warc_source", "url").distinct()
-            res = res.join(prev, ["warc_source", "url"], "left_anti")
-        except Exception:
-            pass  # first batch: nothing emitted yet
-        res.write.mode("append").parquet(out_dir)
+        state = store.restore_state() or {}
+        if state.get("last_batch_id", -1) >= batch_id:
+            return  # replay of a fully-committed batch → idempotent no-op
+
+        res = classify_bulk(batch_df, min_confidence=min_confidence).localCheckpoint()
+
+        confirm_rows = 0
+        confirm_buckets: list[int] = []
+        if store.exists("seen"):
+            blooms = store.read(spark, "blooms")
+            probed = probe_blooms_broadcast(
+                res.withColumn("_k", _key_col()), blooms, key_col="_k", cfg=cfg,
+                bucket_out="_bkt",
+            ).localCheckpoint()
+            fresh = probed.where(~F.col("_maybe_seen"))
+            maybe = probed.where(F.col("_maybe_seen"))
+            # exact confirm for Bloom positives only, pruned to their
+            # buckets (bounded collect: ≤ num_host_buckets ids)
+            confirm_buckets = [
+                r["_bkt"] for r in maybe.select("_bkt").distinct().collect()
+            ]
+            if confirm_buckets:
+                confirm_rows = maybe.count()
+                seen = store.read(spark, "seen").where(
+                    F.col("bucket").isin(confirm_buckets)
+                )
+                maybe = maybe.join(seen, ["warc_source", "url"], "left_anti")
+                res = fresh.unionByName(maybe)
+            else:
+                res = fresh
+            res = res.drop("_k", "_maybe_seen", "_bkt")
+
+        # idempotent delta write: a replay overwrites the same directory
+        batch_dir = f"{out_dir}/batch={batch_id}"
+        res.write.mode("overwrite").parquet(batch_dir)
+
+        # fold the committed delta's keys into seen + blooms, then commit
+        # all tables atomically; a crash before commit_state rolls back
+        new_keys = (
+            spark.read.parquet(batch_dir)
+            .select("warc_source", "url")
+            .withColumn("_k", _key_col())
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("_k"), F.lit(cfg.num_host_buckets)).cast("int"),
+            )
+        )
+        emitted = new_keys.count()
+        seen_v = store.write(
+            "seen", new_keys.select("warc_source", "url", "bucket"), append=True
+        )
+        prev_blooms = (
+            store.read(spark, "blooms")
+            if store.exists("blooms")
+            else spark.createDataFrame([], BLOOM_SCHEMA)
+        )
+        blooms_v = store.write(
+            "blooms", update_blooms(prev_blooms, new_keys, key_col="_k", cfg=cfg)
+        )
+        history = state.get("history", [])
+        history.append(
+            {
+                "batch_id": batch_id,
+                "emitted": emitted,
+                "confirm_rows": confirm_rows,
+                "confirm_buckets": len(confirm_buckets),
+            }
+        )
+        store.commit_state(
+            {
+                "last_batch_id": batch_id,
+                "tables": {"seen": seen_v, "blooms": blooms_v},
+                "history": history,
+            }
+        )
 
     w = pages.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -260,3 +260,77 @@ def test_salted_load_observation_not_capped(spark):
     # capped phase-2 value would be ≤ salts*budget = 40; the pre-salt
     # estimate must be ≈ n (within hash-imbalance slack), far above it
     assert max_load > 1000, max_load
+
+
+@pytest.mark.spark
+def test_rebucket_on_growth_preserves_seen_exactness(spark, corpus, tmp_path):
+    """A tiny bloom-blob ceiling forces mid-crawl bucket doubling; the
+    rebucketed store must hold the SAME final seen set as a run with the
+    default layout, with a consistent bucket column and stamped meta."""
+    from crawler_spark.operators.bloom import BLOOM_HASH_VERSION
+
+    pages, links, seeds, robots = corpus
+    small = EngineConfig(
+        num_host_buckets=4, skew_threshold=200, skew_salts=4, max_retry_attempts=3,
+        bloom_max_blob_bytes=64,  # ~100 keys per 4-bucket layout
+    )
+    store = SnapshotStore(str(tmp_path / "wh_rb"))
+    crawler = FrontierCrawler(
+        spark, store, pages, links=links, robots=robots, cfg=small, budget=BUDGET
+    )
+    crawler.init_from_seeds(seeds)
+    crawler.run(ROUNDS, from_round=0)
+
+    state = store.read_state()
+    assert state["num_buckets"] > 4, "growth must have doubled the layout"
+    assert store.meta("blooms")["num_buckets"] == state["num_buckets"]
+    assert store.meta("blooms")["hash_version"] == BLOOM_HASH_VERSION
+
+    seen = store.read(spark, "url_seen")
+    b = state["num_buckets"]
+    bad = seen.where(
+        F.col("bucket") != F.pmod(F.xxhash64("surt"), F.lit(b)).cast("int")
+    ).count()
+    assert bad == 0, "bucket column must match the committed layout"
+
+    # exactness: same seen set as the default-layout run from the oracle test
+    store_ref, _, _ = _run_crawler(spark, corpus, tmp_path, ROUNDS, "wh_rb_ref")
+    got = {r["surt"] for r in seen.collect()}
+    expect = {r["surt"] for r in store_ref.read(spark, "url_seen").collect()}
+    assert got == expect
+
+
+@pytest.mark.spark
+def test_resume_rebuilds_blooms_on_hash_version_mismatch(spark, corpus, tmp_path):
+    """ADVICE fix: resuming a store whose blooms were built by a different
+    bit-position scheme must rebuild them from the exact seen table —
+    otherwise probes yield false negatives and seen URLs get rescheduled."""
+    pages, links, seeds, robots = corpus
+    store, crawler, _ = _run_crawler(spark, corpus, tmp_path, 2, "wh_ver")
+
+    # simulate an old-scheme store: restamp the blooms meta as v1
+    import json
+
+    mpath = store._manifest_path("blooms")
+    man = json.load(open(mpath))
+    cur = next(e for e in man["versions"] if e["version"] == man["current"])
+    cur["meta"]["hash_version"] = 1
+    json.dump(man, open(mpath, "w"))
+
+    from crawler_spark.operators.bloom import BLOOM_HASH_VERSION
+
+    crawler2 = FrontierCrawler(
+        spark, store, pages, links=links, robots=robots, cfg=CFG, budget=BUDGET
+    )
+    rnd = crawler2.resume()
+    assert rnd == 2
+    assert store.meta("blooms")["hash_version"] == BLOOM_HASH_VERSION
+
+    # continuing the crawl still matches the uninterrupted run
+    crawler2.run(ROUNDS - 2, from_round=rnd)
+    store_ref, _, _ = _run_crawler(spark, corpus, tmp_path, ROUNDS, "wh_ver_ref")
+    got = {r["surt"] for r in store.read(spark, "url_seen").collect()}
+    expect = {r["surt"] for r in store_ref.read(spark, "url_seen").collect()}
+    assert got == expect
+    crawler.close()
+    crawler2.close()

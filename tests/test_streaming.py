@@ -87,3 +87,45 @@ def test_event_time_windowed_counts(spark, staged_corpus):
     # window boundaries are 10-minute aligned
     for r in spark.sql("select window_start, window_end from conf_counts").collect():
         assert r["window_start"].minute % 10 == 0 and r["window_start"].second == 0
+
+
+@pytest.mark.spark
+def test_cross_batch_state_is_bounded_and_exact(spark, tmp_path):
+    """The exactly-once sink must NOT do O(total-emitted) work per batch:
+    unique batches confirm ~nothing against the seen table (bloom-negative
+    fast path), duplicate re-arrivals are suppressed via the confirm join,
+    and a replayed committed batch is a no-op."""
+    import json
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 2000, partitions=2).cache()
+    w0 = pages.where(F.col("warc_offset") < 1000)
+    w1 = pages.where(F.col("warc_offset") >= 1000)
+
+    w0.write.parquet(f"{src}/wave=0")
+    stream_classify(spark, f"{src}/wave=*", out, ckpt).awaitTermination(300)
+    w1.write.parquet(f"{src}/wave=1")
+    stream_classify(spark, f"{src}/wave=*", out, ckpt).awaitTermination(300)
+    # wave 2 re-delivers wave 0's rows in new files → all duplicates
+    w0.write.parquet(f"{src}/wave=2")
+    stream_classify(spark, f"{src}/wave=*", out, ckpt).awaitTermination(300)
+
+    hist = json.load(open(f"{out}_state/state.json"))["history"]
+    assert [h["batch_id"] for h in hist] == [0, 1, 2]
+    # batch 1 is all-new: the exact confirm join saw at most bloom-FP rows
+    assert hist[1]["confirm_rows"] <= max(3, hist[1]["emitted"] // 20)
+    # batch 2 is all-duplicate: confirm caught them, nothing emitted
+    assert hist[2]["emitted"] == 0 and hist[2]["confirm_rows"] > 0
+
+    res = spark.read.parquet(out)
+    assert res.count() == res.select("warc_source", "url").distinct().count()
+    expect = classify_bulk(pages, min_confidence="medium").count()
+    assert res.count() == expect
+
+    # replay of committed batches (fresh checkpoint, same state) is a no-op
+    before = res.count()
+    stream_classify(spark, f"{src}/wave=*", out, str(tmp_path / "ckpt2")).awaitTermination(300)
+    assert spark.read.parquet(out).count() == before
+    pages.unpersist()
