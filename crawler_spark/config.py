@@ -62,6 +62,14 @@ class EngineConfig:
     # cogrouped per-bucket probe takes over.
     bloom_broadcast_max_bytes: int = 1 << 30
     max_retry_attempts: int = 5  # reference src/warc_processor.py:45-46
+    # AQE materializes every exchange as its own job to re-plan at runtime.
+    # The frontier round's shuffles are fixed-shape and explicitly planned
+    # (manual broadcast hints, bucket partitioning, skew salting), so those
+    # extra jobs are pure driver latency (~40% of the per-round serial
+    # constant measured at sandbox scale). run() therefore disables AQE for
+    # the loop's queries by default and restores the session setting after;
+    # flip this on if the corpus join sizes are genuinely unknown.
+    frontier_aqe: bool = False
     politeness: PolitenessConfig = PolitenessConfig()
     adaptive: AdaptiveConfig = AdaptiveConfig()
 

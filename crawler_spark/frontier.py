@@ -353,7 +353,10 @@ class FrontierCrawler:
         #    Bloom-positive buckets only. The bucket-prune collect inside is
         #    the round's first job; it fills the probed cache and fires
         #    obs_cand.
-        ur = filter_unseen_pruned(candidates, seen, blooms, cfg=rcfg)
+        ur = filter_unseen_pruned(
+            candidates, seen, blooms, cfg=rcfg,
+            total_bits=store.meta("blooms").get("total_bits"),
+        )
         _tr("prune_probe")
         unseen = ur.unseen
 
@@ -514,28 +517,48 @@ class FrontierCrawler:
             seen_version = store.write(
                 "url_seen", newly_seen, meta={"round": round_no}, append=True
             )
-            # bloom maintenance: fold in ONLY this round's delta; buckets
-            # that would overflow their target FP rate are rebuilt from the
-            # exact table (amortized-rare: fresh buckets carry 4× headroom).
+            # bloom maintenance: fold in ONLY this round's delta; overflow
+            # detection and the next round's broadcast-size hint both ride
+            # the write's Observation — the common path is ONE job, no
+            # standalone collect. Buckets that would overflow their target
+            # FP rate are rebuilt from the exact table (amortized-rare:
+            # fresh buckets carry 4× headroom).
             delta = store.read_delta(spark, "url_seen", seen_version)
-            new_blooms = update_blooms(blooms, delta, cfg=rcfg).persist()
-            overflow = [
-                r[0]
-                for r in new_blooms.where(F.col("bits").isNull()).select("bucket").collect()
-            ]
-            if overflow:
+            obs_bloom = Observation()
+            new_blooms = update_blooms(blooms, delta, cfg=rcfg).observe(
+                obs_bloom,
+                F.sum("m").alias("bits"),
+                F.sum(F.when(F.col("bits").isNull(), 1).otherwise(0)).alias("overflow"),
+            )
+            bv = store.write("blooms", new_blooms, meta=self._bloom_meta(round_no))
+            vals = obs_bloom.get
+            if int(vals["overflow"] or 0):
+                written = store.read(spark, "blooms")
+                overflow = [
+                    r[0]
+                    for r in written.where(F.col("bits").isNull())
+                    .select("bucket")
+                    .collect()
+                ]
                 rebuilt = build_blooms(
                     store.read(spark, "url_seen").where(F.col("bucket").isin(overflow)),
                     cfg=rcfg,
                     headroom=4,
                 )
-                final_blooms = new_blooms.where(
-                    ~F.col("bucket").isin(overflow)
-                ).unionByName(rebuilt)
+                obs_rb = Observation()
+                final = (
+                    written.where(~F.col("bucket").isin(overflow))
+                    .unionByName(rebuilt)
+                    .observe(obs_rb, F.sum("m").alias("bits"))
+                )
+                bv = store.write("blooms", final, meta=self._bloom_meta(round_no))
+                store.amend_meta(
+                    "blooms", {"total_bits": int(obs_rb.get["bits"] or 0)}, version=bv
+                )
             else:
-                final_blooms = new_blooms
-            store.write("blooms", final_blooms, meta=self._bloom_meta(round_no))
-            new_blooms.unpersist()
+                store.amend_meta(
+                    "blooms", {"total_bits": int(vals["bits"] or 0)}, version=bv
+                )
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -576,9 +599,12 @@ class FrontierCrawler:
         m.missing = int(obs_fail.get["n"] or 0)
         m.fetched = m.admitted - m.missing
         m.seconds = time.time() - t0
-        metrics_df = self.spark.createDataFrame([m.row()], METRICS_SCHEMA)
         _tr("obs_read")
-        store.write("metrics", metrics_df, meta={"round": round_no}, append=True)
+        # one row per round: written driver-side (pyarrow) — a Spark job
+        # for a 1-row append is pure scheduling overhead
+        store.write_local(
+            "metrics", [m.row()], METRICS_SCHEMA, meta={"round": round_no}, append=True
+        )
 
         # Bucket-layout maintenance: double the bucket count whenever the
         # running seen total would push a bloom blob past the byte ceiling,
@@ -636,14 +662,21 @@ class FrontierCrawler:
         start = (from_round if from_round is not None else self.resume()) + 1
         out: list[RoundMetrics] = []
         prev_next: int | None = None
-        for r in range(start, start + max_rounds):
-            if prev_next == 0:
-                break
-            if prev_next is None and (
-                self.store.read(self.spark, "frontier").limit(1).count() == 0
-            ):
-                break
-            m = self.run_round(r)
-            out.append(m)
-            prev_next = m.next_frontier
+        aqe_key = "spark.sql.adaptive.enabled"
+        prev_aqe = self.spark.conf.get(aqe_key, "true")
+        if not self.cfg.frontier_aqe:
+            self.spark.conf.set(aqe_key, "false")
+        try:
+            for r in range(start, start + max_rounds):
+                if prev_next == 0:
+                    break
+                if prev_next is None and (
+                    self.store.read(self.spark, "frontier").limit(1).count() == 0
+                ):
+                    break
+                m = self.run_round(r)
+                out.append(m)
+                prev_next = m.next_frontier
+        finally:
+            self.spark.conf.set(aqe_key, prev_aqe)
         return out

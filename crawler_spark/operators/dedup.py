@@ -73,6 +73,7 @@ def filter_unseen_pruned(
     blooms: DataFrame,
     key_col: str = "surt",
     cfg: EngineConfig = DEFAULT,
+    total_bits: int | None = None,
 ) -> UnseenResult:
     """The frontier-loop variant of :func:`filter_unseen`: exact, with the
     seen side *pruned to Bloom-positive buckets* before the anti-join.
@@ -93,9 +94,13 @@ def filter_unseen_pruned(
     cand = candidates.where(F.col(key_col).isNotNull())
     # Probe strategy: broadcast+codegen while the filter set is small
     # enough to ship to every executor; cogrouped per-bucket probe beyond
-    # that (no single place ever holds the whole filter). The size check
-    # reads the 1-row aggregate of the (tiny, B-row) blooms table.
-    total_bytes = (blooms.agg(F.sum("m")).first()[0] or 0) // 8
+    # that (no single place ever holds the whole filter). The size comes
+    # from the blooms snapshot meta when the caller has it (piggybacked on
+    # the previous round's write Observation — zero jobs); the fallback is
+    # a 1-row aggregate job over the (tiny, B-row) blooms table.
+    if total_bits is None:
+        total_bits = blooms.agg(F.sum("m")).first()[0] or 0
+    total_bytes = total_bits // 8
     probe = (
         probe_blooms_broadcast
         if total_bytes <= cfg.bloom_broadcast_max_bytes

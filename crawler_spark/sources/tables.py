@@ -112,6 +112,64 @@ class SnapshotStore:
         self._commit_manifest(table, m)
         return next_v
 
+    def amend_meta(self, table: str, patch: dict, version: int | None = None) -> None:
+        """Merge ``patch`` into a version's meta after the write — for
+        facts only known once the write's Observation fires (e.g. the
+        blooms' total filter bits, read back next round without a job)."""
+        m = self._read_manifest(table)
+        v = version if version is not None else m["current"]
+        for entry in m["versions"]:
+            if entry["version"] == v:
+                entry.setdefault("meta", {}).update(patch)
+                self._commit_manifest(table, m)
+                return
+        raise FileNotFoundError(f"table {table!r} version {v} not found")
+
+    def write_local(
+        self, table: str, rows: list[tuple], schema: str, meta: dict | None = None,
+        append: bool = False,
+    ) -> int:
+        """Append tiny driver-side rows (metrics, lineage) as a new version
+        WITHOUT a Spark job: pyarrow writes the parquet file directly.
+        Readable by spark.read.parquet like any other version. At one row
+        per BFS round a Spark write is pure scheduling overhead."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fields = []
+        arrays = []
+        _PA = {
+            "int": pa.int32(), "long": pa.int64(), "double": pa.float64(),
+            "boolean": pa.bool_(), "string": pa.string(),
+        }
+        cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+        for i, (name, typ) in enumerate(cols):
+            fields.append(pa.field(name.strip(), _PA[typ.strip()]))
+            arrays.append(pa.array([r[i] for r in rows], type=_PA[typ.strip()]))
+        m = self._read_manifest(table)
+        next_v = 1 + max((v["version"] for v in m["versions"]), default=0)
+        vdir = os.path.join(self._tdir(table), f"v{next_v:05d}")
+        os.makedirs(vdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa.schema(fields)),
+            os.path.join(vdir, "part-00000.parquet"),
+        )
+        segments = [vdir]
+        if append and m["current"] is not None:
+            prev = next(e for e in m["versions"] if e["version"] == m["current"])
+            segments = prev.get("segments", [prev["path"]]) + [vdir]
+        m["versions"].append(
+            {
+                "version": next_v,
+                "path": vdir,
+                "segments": segments,
+                "meta": {**(meta or {}), "ts": time.time()},
+            }
+        )
+        m["current"] = next_v
+        self._commit_manifest(table, m)
+        return next_v
+
     def read_delta(self, spark: SparkSession, table: str, version: int) -> DataFrame:
         """Read ONLY the delta directory a given append version added —
         the Iceberg incremental-read analog (changelog between snapshots).
