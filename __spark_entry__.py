@@ -304,6 +304,12 @@ def _q_centroids(spark, sf_dir):
     return SIM.centroids(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN top-k: nearest-centroid cell assignment + nprobe-cell
+    exact search (the scale path past LSH bucketing)."""
+    return SIM.ivf_topk(_t(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS)
+
+
 def _q_ann_lsh(spark, sf_dir):
     return SIM.lsh_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
@@ -462,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_pairs": _q_cosine_neardup,
         "embedding_centroids": _q_centroids,
         "ann_lsh_neardups": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "cdx_domain_select": _q_cdx_domain_select,
         "per_domain_headk": _q_per_domain_headk,
         "targeted_classify": _q_targeted_classify,
@@ -565,6 +572,7 @@ GROUP BY source""",
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),
         "embedding_centroids": SG.sql_centroids(),
         "ann_lsh_neardups": SG.sql_ann_lsh(),
+        "ann_ivf_topk": SG.sql_ivf_topk(TOPK_QUERY_IDS, nprobe=SIM.IVF_NPROBE),
         "cdx_domain_select": SG.sql_cdx_domain_select(CDX_FROM_TS, CDX_TO_TS),
         "per_domain_headk": SG.sql_per_domain_headk(PER_DOMAIN_K),
         "targeted_classify": SG.sql_targeted_classify(CDX_FROM_TS),

@@ -156,6 +156,86 @@ def lsh_neardup_pairs(
     )
 
 
+IVF_NPROBE = 2
+
+
+def centroid_vectors(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Full per-cell mean vector (the IVF coarse quantizer). Each dim is
+    rounded to 6 dp so the centroid constants are bit-identical across
+    engines (avg-of-doubles differs in the last bits between fold orders;
+    the rounding collapses that far below any decision boundary)."""
+    dim_cols = [
+        F.round(F.avg(F.element_at(F.col(vec_col), d + 1).cast("double")), 6).alias(f"d{d}")
+        for d in range(EMBED_DIM)
+    ]
+    agg = emb.groupBy(label_col).agg(*dim_cols)
+    return agg.select(
+        F.col(label_col).alias("cell"),
+        F.array(*[F.col(f"d{d}") for d in range(EMBED_DIM)]).alias("centroid"),
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = TOPK_K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: assign every vector to its nearest
+    centroid cell (cosine, ties → lowest cell), probe the ``nprobe``
+    closest cells per query, exact-search only inside them.
+
+    The scale path past LSH: search cost drops from O(corpus) to
+    O(corpus·nprobe/ncells) per query. The centroid side is a broadcast
+    (ncells ≪ corpus); assignment is one map-side scored cross join + a
+    per-id window (at 10^9 vectors the production variant embeds the
+    collected centroid table as literals for a pure map-side argmax — the
+    join shape is unchanged). Candidate generation is an equi-join on the
+    cell id, like the LSH bucket join."""
+    cents = F.broadcast(centroid_vectors(emb, vec_col=vec_col))
+    scored = emb.crossJoin(cents).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell",
+        cosine(F.col(vec_col), F.col("centroid")).alias("_s"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    qs = q.crossJoin(cents).select(
+        "query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("centroid")).alias("_s")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("cell"))
+    probes = (
+        qs.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr)).where(F.col("rank") <= k)
+    )
+
+
 def centroids(emb: DataFrame, label_col: str = "label", vec_col: str = "embedding") -> DataFrame:
     """Per-label centroid norm (IVF seed shape): mean of each dimension,
     reported as the rounded L2 norm (scalar — oracle-hashable)."""

@@ -245,6 +245,41 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({cos}, 4) >= {threshold}"""
 
 
+def sql_ivf_topk(query_ids: list[int], k: int = TOPK_K, nprobe: int = 2) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    dims = ", ".join(
+        f"round(avg(CAST(embedding[{d + 1}] AS DOUBLE)), 6) AS d{d}"
+        for d in range(EMBED_DIM)
+    )
+    cent = "[" + ", ".join(f"d{d}" for d in range(EMBED_DIM)) + "]"
+    cos_ec = _sql_cosine("e.embedding", "c.centroid")
+    cos_qc = _sql_cosine("q.q_vec", "c.centroid")
+    cos_qa = _sql_cosine("p.q_vec", "a.embedding")
+    return f"""
+WITH cagg AS (SELECT label AS cell, {dims} FROM embeddings GROUP BY label),
+c AS (SELECT cell, {cent} AS centroid FROM cagg),
+a0 AS (SELECT e.vec_id, e.embedding, c.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {cos_ec} DESC, c.cell ASC) AS rn
+       FROM embeddings e CROSS JOIN c),
+assigned AS (SELECT vec_id, embedding, cell FROM a0 WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+      WHERE vec_id IN ({ids})),
+p0 AS (SELECT q.query_id, q.q_vec, c.cell,
+              row_number() OVER (PARTITION BY q.query_id
+                                 ORDER BY {cos_qc} DESC, c.cell ASC) AS rn
+       FROM q CROSS JOIN c),
+probes AS (SELECT query_id, q_vec, cell FROM p0 WHERE rn <= {nprobe}),
+cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, round({cos_qa}, 4) AS cos_sim
+         FROM probes p JOIN assigned a
+           ON p.cell = a.cell AND a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {k}"""
+
+
 def sql_centroids() -> str:
     dims = ",\n         ".join(
         f"avg(CAST(embedding[{d + 1}] AS DOUBLE)) AS d{d}" for d in range(EMBED_DIM)
