@@ -64,7 +64,7 @@ FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROUNDS", "3"))
 SCALING_LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(",")
 )
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 S_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_S_CORPUS_PAGES", "300000"))
 S_CORPUS_WORDS = 600
 S_FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_PAGES", "3000000"))
@@ -202,11 +202,16 @@ def _frontier_bench(spark, corpus_root: str, seeds_n: int, tmp: str) -> dict:
     from crawler_spark.sources.corpus import generate_robots, generate_seeds
     from crawler_spark.sources.tables import SnapshotStore
 
+    from pyspark.sql import functions as F
+
     pages = spark.read.parquet(f"{corpus_root}/pages")
     links = spark.read.parquet(f"{corpus_root}/links")
     n_pages = pages.count()
     seeds = generate_seeds(spark, seeds_n, n_pages)
-    robots = generate_robots(spark, pages)
+    # robots needs the distinct HOSTS, not every page: a deterministic 5%
+    # row sample sees every non-trivial host (Zipf skew) at 1/20 the
+    # canonicalize cost, and is identical at every parallelism level
+    robots = generate_robots(spark, pages.where(F.xxhash64("url") % 20 == 0))
     store = SnapshotStore(f"{tmp}/store")
     crawler = FrontierCrawler(
         spark, store, pages, links=links, robots=robots, budget=FRONTIER_BUDGET

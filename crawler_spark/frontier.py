@@ -170,13 +170,16 @@ class FrontierCrawler:
         self.spark = spark
         self.store = store
         self.pages = pages
-        # links/robots re-enter the plan every round (link expansion join;
-        # robots broadcast gate). A broadcast is rebuilt per QUERY, so an
-        # unpersisted robots df derived from the corpus (e.g. a groupBy
-        # over pages) would re-aggregate the whole corpus each round —
-        # persist both once. (Iceberg analog: these are materialized
-        # tables, not live views.)
-        self.links = links.persist() if links is not None else None
+        # robots re-enters the plan every round as a broadcast gate; a
+        # broadcast is rebuilt per QUERY, so an unpersisted robots df
+        # derived from the corpus (e.g. a groupBy over pages) would
+        # re-aggregate the whole corpus each round — persist it once
+        # (small after distinct). links, by contrast, is consumed by ONE
+        # scan-side hash join per round: re-reading the (column-pruned,
+        # compressed) parquet is cheaper than pinning a corpus-sized
+        # deserialized cache that competes with the round caches for heap
+        # and evicts under memory pressure.
+        self.links = links
         self.robots = robots.persist() if robots is not None else None
         self.cfg = cfg
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
@@ -193,21 +196,23 @@ class FrontierCrawler:
         # grows so per-bucket bloom blobs stay ≤ cfg.bloom_max_blob_bytes.
         self._num_buckets = cfg.num_host_buckets
         self._seen_total = 0
-        # One fetchable copy per URL: the corpus plants ~5% cross-WARC
-        # duplicates; a crawl fetches a URL once, deterministically the
-        # first copy in file order. Persisted: the window over the corpus
-        # would otherwise recompute every round. (At production scale this
-        # dedupe happens once at ingest, not per crawl.)
-        self._page_lookup = first_wins(
-            pages.select(F.col("url").alias("p_url"), "text", "warc_source", "warc_offset"),
-            ["p_url"],
-            [F.col("warc_offset").asc()],
-        ).persist()
+        # Fetch side: a column-pruned view of the corpus, scanned per round
+        # with the (politeness-bounded) admitted set broadcast as the probe.
+        # The previous design pre-deduped ALL pages with a global window —
+        # one shuffle+cache of the entire text corpus (≈2× corpus bytes
+        # moved, corpus-sized heap cache) paid in round 1 and competing
+        # with every other cache for memory. Per-round the admitted probe
+        # touches ≤ budget×hosts rows, so scan+broadcast-hash is strictly
+        # less data motion; the ~5% duplicate copies are deduped AFTER the
+        # join (window over ~1.05×|admitted| rows, not the corpus). At
+        # 10^10 pages the full scan per round gives way to a pages table
+        # bucket-partitioned by url (Iceberg bucket transform → storage-
+        # partitioned join); the plan shape is unchanged.
+        self._pages_sel = pages.select(
+            "url", "text", "warc_source", "warc_offset"
+        )
 
     def close(self) -> None:
-        self._page_lookup.unpersist()
-        if self.links is not None:
-            self.links.unpersist()
         if self.robots is not None:
             self.robots.unpersist()
 
@@ -393,14 +398,21 @@ class FrontierCrawler:
         admitted = adm.admitted.drop("host_budget", "crawl_delay").persist()
         deferred = adm.deferred
 
-        # 5. "fetch": join the pages corpus on url. Cached: both branches
-        #    (fetched/missing) and the failure+link stages reuse it.
-        page_cols = self._page_lookup
-        fetch = admitted.join(
-            page_cols, admitted["url"] == page_cols["p_url"], "left"
-        ).drop("p_url").persist()
-        fetched = fetch.where(F.col("text").isNotNull())
-        missing = fetch.where(F.col("text").isNull())
+        # 5. "fetch": scan the pages corpus once with the admitted set as a
+        #    broadcast hash probe (inner join — no shuffle of the corpus),
+        #    dedupe the ~5% duplicate copies AFTER the join (first copy in
+        #    file order, window over ~1.05×|admitted| rows), and recover
+        #    the missing set with a cheap anti-join against the (small)
+        #    fetched-url list. Cached: detector, link-expansion, and the
+        #    missing branch all reuse `fetched`.
+        fetched = first_wins(
+            self._pages_sel.join(F.broadcast(admitted), "url"),
+            ["url"],
+            [F.col("warc_offset").asc()],
+        ).persist()
+        missing = admitted.join(
+            F.broadcast(fetched.select("url")), "url", "left_anti"
+        )
 
         # 6. classify fetched pages (one Arrow stage), gate, append results
         from crawler_spark.patterns import CONFIDENCE_ORDER
@@ -651,7 +663,7 @@ class FrontierCrawler:
                 },
             }
         )
-        for df in (admitted, fetch, tagged, ur.probed):
+        for df in (admitted, fetched, tagged, ur.probed):
             df.unpersist()
         return m
 
