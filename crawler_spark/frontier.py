@@ -12,7 +12,7 @@ Per round (each step one declarative DataFrame op, shuffles noted):
   2. unseen      = Bloom-prefiltered exact anti-join vs seen   [shuffle: bucket; seen side pruned to Bloom-positive buckets]
   3. tagged      = robots verdict + crawl_delay (broadcast join, cached)
   4. admitted/deferred = per-host politeness window, skew-salted [shuffle: host(+salt)]
-  5. fetched/missing   = join pages on url                     [shuffle: url; AQE may broadcast the admitted side]
+  5. fetched/missing   = pages scan ⋈ broadcast(admitted)      [no shuffle of the corpus; copy-dedupe window over ~|admitted|]
   6. results    += detector over fetched (one Arrow stage)
   7. failures   += missing (retry ≤ max_attempts, then permanent)
   8. frontier'   = deferred ∪ out-links of fetched (anti-joined next round) ∪ retryable failures

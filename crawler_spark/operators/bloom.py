@@ -33,15 +33,26 @@ from pyspark.sql import functions as F
 
 from crawler_spark.config import DEFAULT, EngineConfig
 
-BLOOM_SCHEMA = "bucket int, m long, n long, bits binary"
+BLOOM_SCHEMA = "bucket int, m long, n long, bits array<long>"
 
-# Bit-position scheme version. v2 = mod-reduced int64 double hashing
-# (_positions below); v1 blobs (uint64-wrap arithmetic) place bits
-# differently, so probing them with v2 arithmetic yields false NEGATIVES —
-# silently breaking url_seen exactness. Persisted stores stamp this in the
-# blooms table meta; a resume that finds a different (or missing) stamp
-# must rebuild blooms from the exact seen table before probing.
-BLOOM_HASH_VERSION = 2
+# Bloom blob scheme version. v2 = mod-reduced int64 double hashing
+# (_positions below) over a binary blob; v3 keeps the same bit positions
+# but stores the filter as little-endian int64 WORDS (array<long>) so the
+# JVM probe is pure long arithmetic — the v2 probe extracted each byte
+# via substring→hex→conv, 2 string allocations per hash per row, which
+# made the probe allocation-bound and capped its multi-core scaling.
+# Little-endian byte order makes the in-word bit index exactly pos % 64.
+# Blobs from a different version would probe wrongly (v1: different
+# positions → false NEGATIVES; v2: different container), silently
+# breaking url_seen exactness. Persisted stores stamp this in the blooms
+# table meta; a resume that finds a different (or missing) stamp must
+# rebuild blooms from the exact seen table before probing.
+BLOOM_HASH_VERSION = 3
+
+
+def _words_to_bytes(cell) -> np.ndarray:
+    """array<long> cell (arrow list / numpy) → uint8 view, little-endian."""
+    return np.ascontiguousarray(np.asarray(cell, dtype="<i8")).view(np.uint8)
 
 
 def required_buckets(total_keys: int, cfg: EngineConfig = DEFAULT, headroom: int = 4) -> int:
@@ -108,7 +119,7 @@ def build_blooms(
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         m = max(256, bpk * headroom * n)
-        m = (m + 7) // 8 * 8
+        m = (m + 63) // 64 * 64  # whole int64 words
         bits = np.zeros(m // 8, dtype=np.uint8)
         pos = _positions(pdf["_h1"].to_numpy(), pdf["_h2"].to_numpy(), k, m).ravel()
         np.bitwise_or.at(bits, (pos >> 3).astype(np.int64), (1 << (pos & 7)).astype(np.uint8))
@@ -117,7 +128,7 @@ def build_blooms(
                 "bucket": [int(pdf["_bucket"].iat[0])],
                 "m": [m],
                 "n": [n],
-                "bits": [bits.tobytes()],
+                "bits": [bits.view("<i8")],
             }
         )
 
@@ -158,7 +169,7 @@ def update_blooms(
         if len(bloom_pdf) == 0:  # fresh bucket
             n = len(new_pdf)
             m = max(256, bpk * headroom * n)
-            m = (m + 7) // 8 * 8
+            m = (m + 63) // 64 * 64
             bits = np.zeros(m // 8, dtype=np.uint8)
             bkt = int(new_pdf["_bucket"].iat[0])
         else:
@@ -172,14 +183,14 @@ def update_blooms(
                 return pd.DataFrame(
                     {"bucket": [bkt], "m": [m], "n": [n], "bits": [None]}
                 )
-            bits = np.frombuffer(bloom_pdf["bits"].iat[0], dtype=np.uint8).copy()
+            bits = _words_to_bytes(bloom_pdf["bits"].iat[0]).copy()
         pos = _positions(new_pdf["_h1"].to_numpy(), new_pdf["_h2"].to_numpy(), k, m).ravel()
         np.bitwise_or.at(
             bits,
             (pos >> 3).astype(np.int64),
             (1 << (pos & 7)).astype(np.uint8),
         )
-        return pd.DataFrame({"bucket": [bkt], "m": [m], "n": [n], "bits": [bits.tobytes()]})
+        return pd.DataFrame({"bucket": [bkt], "m": [m], "n": [n], "bits": [bits.view("<i8")]})
 
     hashed = _hash_cols(new_keys.select(key_col), key_col, cfg.num_host_buckets)
     return (
@@ -197,11 +208,11 @@ def probe_blooms_broadcast(
     out_col: str = "_maybe_seen",
     bucket_out: str | None = None,
 ) -> DataFrame:
-    """Pure-JVM Bloom probe: broadcast-join the per-bucket blobs and test
-    the k bit positions with codegen column expressions.
+    """Pure-JVM Bloom probe: broadcast-join the per-bucket word arrays and
+    test the k bit positions with codegen column expressions.
 
     vs the cogrouped probe: NO shuffle of the candidate set, NO Python
-    stage — the k byte-extracts fuse into the enclosing
+    stage — the k word-indexing bit tests fuse into the enclosing
     WholeStageCodegen, and the blob crosses the wire once per executor
     (broadcast) instead of once per bucket-partition. This is the fast
     path while the total filter fits a broadcast
@@ -209,7 +220,12 @@ def probe_blooms_broadcast(
     beyond that the frontier falls back to the cogrouped probe
     (:func:`probe_blooms`), which never materializes the whole filter in
     one place. Position arithmetic is pmod-of-wrapped-int64, bit-identical
-    to :func:`_positions`, so both probes read the same serialized blobs.
+    to :func:`_positions`, so both probes read the same serialized blobs;
+    the little-endian word layout makes the in-word bit index pos % 64.
+    Every per-hash operation is long arithmetic — zero allocations per
+    row, unlike the substring→hex→conv byte extraction it replaces, which
+    allocated 2 strings per hash per row and made the probe
+    allocation-bound (poor multi-core scaling on big candidate sets).
 
     NULL-bits buckets (deferred overflow rebuild) degrade to all-maybe;
     unknown buckets (empty filter) are definitely-new — same contract as
@@ -224,21 +240,14 @@ def probe_blooms_broadcast(
     )
     j = hashed.join(b, F.col("_bucket") == F.col("_bb"), "left")
     h1, h2, m = F.col("_h1"), F.col("_h2"), F.col("_bm")
-    # byte >> (pos % 8) via division by a power of two (shiftright needs a
-    # literal shift amount): byte ≤ 255 and divisor ∈ {1..128} are exact in
-    # double, so floor(byte / 2^(pos%8)) % 2 is the target bit.
-    pow2 = F.array(*[F.lit(1 << s) for s in range(8)])
+    one = F.lit(1).cast("long")
     h1m, h2m = F.pmod(h1, m), F.pmod(h2, m)  # overflow-free (ANSI-safe)
     allset = None
     for i in range(k):
         pos = F.pmod(h1m + F.lit(i) * h2m, m)
-        byte = F.conv(
-            F.hex(F.substring(F.col("_bbits"), (F.floor(pos / 8) + 1).cast("int"), F.lit(1))),
-            16,
-            10,
-        ).cast("long")
-        divisor = F.element_at(pow2, F.pmod(pos, F.lit(8)).cast("int") + 1)
-        bit = F.floor(byte / divisor).cast("long") % 2 == 1
+        word = F.element_at(F.col("_bbits"), (pos / F.lit(64)).cast("int") + 1)
+        mask = F.call_function("shiftleft", one, F.pmod(pos, F.lit(64)).cast("int"))
+        bit = word.bitwiseAND(mask) != 0
         allset = bit if allset is None else (allset & bit)
     maybe = (
         F.when(F.col("_bb").isNull(), F.lit(False))
@@ -302,7 +311,7 @@ def probe_blooms(
         if bloom_pdf["bits"].iat[0] is None:
             return cand_pdf.assign(**{out_col: True})
         m = int(bloom_pdf["m"].iat[0])
-        bits = np.frombuffer(bloom_pdf["bits"].iat[0], dtype=np.uint8)
+        bits = _words_to_bytes(bloom_pdf["bits"].iat[0])
         pos = _positions(cand_pdf["_h1"].to_numpy(), cand_pdf["_h2"].to_numpy(), k, m)
         byte_idx = (pos >> 3).astype(np.int64)
         mask = (1 << (pos & 7)).astype(np.uint8)

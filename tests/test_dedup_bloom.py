@@ -164,6 +164,6 @@ def test_built_blob_sizes_bounded_across_simulated_growth(spark):
             F.concat(F.lit("com,ex)/k/"), F.col("id")).alias("surt")
         )
         blobs = build_blooms(keys, cfg=replace(cfg, num_host_buckets=b), headroom=4).collect()
-        max_blob = max(len(r["bits"]) for r in blobs)
+        max_blob = max(8 * len(r["bits"]) for r in blobs)
         assert max_blob <= cfg.bloom_max_blob_bytes * 1.5, (n, b, max_blob)
     assert required_buckets(8000, cfg) > required_buckets(200, cfg)
