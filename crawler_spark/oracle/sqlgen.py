@@ -393,7 +393,7 @@ f AS (
               THEN (CAST(n_frames AS BIGINT) * 1000000) // fps END AS duration_us
   FROM m
 )
-SELECT media_type, count(*) AS n, sum(n_bytes) AS total_bytes,
+SELECT media_type, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(n_pixels), 4) AS avg_pixels,
        round(avg(n_samples), 4) AS avg_samples,
        round(avg(duration_us) / 1000000.0, 4) AS avg_duration_s
