@@ -190,24 +190,41 @@ def ivf_topk(
     closest cells per query, exact-search only inside them.
 
     The scale path past LSH: search cost drops from O(corpus) to
-    O(corpus·nprobe/ncells) per query. The centroid side is a broadcast
-    (ncells ≪ corpus); assignment is one map-side scored cross join + a
-    per-id window (at 10^9 vectors the production variant embeds the
-    collected centroid table as literals for a pure map-side argmax — the
-    join shape is unchanged). Candidate generation is an equi-join on the
-    cell id, like the LSH bucket join."""
-    cents = F.broadcast(centroid_vectors(emb, vec_col=vec_col))
-    scored = emb.crossJoin(cents).select(
+    O(corpus·nprobe/ncells) per query. The collected centroid table
+    (ncells ≪ corpus, rounded to 6 dp so both engines see identical
+    doubles) is embedded as literals, so cell assignment is a pure
+    map-side per-row argmax — zero shuffle over the corpus, no window.
+    Tie-break (highest cosine, lowest cell) is expressed as
+    ``array_min`` over ``struct(-score, cell)``, identical to the
+    oracle's ``ORDER BY cos DESC, cell ASC``. Candidate generation is an
+    equi-join on the cell id with the tiny probe side broadcast."""
+    cent_rows = sorted(
+        centroid_vectors(emb, vec_col=vec_col).collect(), key=lambda r: r["cell"]
+    )
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in r["centroid"]]),
+                    )
+                ).alias("neg_s"),
+                F.lit(r["cell"]).alias("cell"),
+            )
+            for r in cent_rows
+        ]
+    )
+    assigned = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        "cell",
-        cosine(F.col(vec_col), F.col("centroid")).alias("_s"),
+        F.array_min(scored).getField("cell").alias("cell"),
     )
-    wa = Window.partitionBy(id_col).orderBy(F.desc("_s"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(wa))
-        .where(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell")
+    cents = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(r["cell"], [float(v) for v in r["centroid"]]) for r in cent_rows],
+            "cell int, centroid array<double>",
+        )
     )
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -222,7 +239,7 @@ def ivf_topk(
         .select("query_id", "q_vec", "cell")
     )
     cand = (
-        probes.join(assigned, "cell")
+        assigned.join(F.broadcast(probes), "cell")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
