@@ -445,8 +445,13 @@ class FrontierCrawler:
         retryable = fail_rows.where(F.col("failure_count") < cfg.max_retry_attempts)
         failures_log = fail_rows.select(
             "url",
+            # classify only the message prefix before the interpolated
+            # URL/host ("... for <url>") — a URL whose own text contains
+            # 'timeout'/'connection' must not sway the when-chain
             classify_failure_reason(
-                fetch_error_string(F.col("host"), F.col("url"))
+                F.substring_index(
+                    fetch_error_string(F.col("host"), F.col("url")), " for ", 1
+                )
             ).alias("failure_reason"),
             "failure_count",
             F.lit(round_no).alias("round"),

@@ -192,6 +192,33 @@ def test_failure_reason_classifier_matches_reference_chain(spark):
 
 
 @pytest.mark.spark
+def test_miss_classification_ignores_url_text(spark):
+    """A missing page whose URL contains 'timeout'/'connection' must still
+    classify from the miss context, not the interpolated URL (ADVICE r2)."""
+    from crawler_spark.frontier import classify_failure_reason, fetch_error_string
+
+    rows = [
+        ("x.com", "https://x.com/request-timeout", "http_error"),
+        ("x.com", "https://x.com/connection-pool-docs", "http_error"),
+        ("network-tools.invalid", "https://network-tools.invalid/a", "connection_error"),
+    ]
+    df = spark.createDataFrame(
+        [(h, u) for h, u, _ in rows], "host string, url string"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            classify_failure_reason(
+                F.substring_index(
+                    fetch_error_string(F.col("host"), F.col("url")), " for ", 1
+                )
+            )
+        ).collect()
+    ]
+    assert got == [want for _, _, want in rows]
+
+
+@pytest.mark.spark
 def test_adaptive_budget_wiring_and_failure_reasons(spark, corpus, tmp_path):
     """adaptive=True: a round with failed fetches roughly halves the next
     round's budget (reference AdaptiveRateLimiter ×0.5) and the failures
