@@ -40,12 +40,26 @@ Exactly-once design (per-batch work bounded, NOT O(total emitted)):
   commit_state); a replayed already-committed batch is detected by its
   batch_id and skipped, and a half-written batch is rolled back by
   restore_state. Unexpected state-read errors PROPAGATE (failing the
-  batch so the checkpoint retries) instead of being swallowed.
+  batch so the checkpoint retries) instead of being swallowed;
+- batch ids restart at 0 per checkpoint directory, so the replay skip is
+  only valid for the stream that wrote the state: state.json records the
+  checkpoint's query id (``<checkpoint>/metadata``) and a mismatch fails
+  fast instead of silently dropping a fresh checkpoint's first batches;
+- a crash BEFORE the very first commit_state leaves orphaned seen/blooms
+  tables with no state.json; replaying batch 0 against them would make
+  its own keys probe as already-seen (silent loss), so the sink resets
+  orphaned tables when no committed state exists;
+- history metrics ride the batch's own jobs: confirm rows fold into the
+  bounded bucket-pruning aggregation, emitted rows ride the seen-table
+  write as an ``Observation`` — no standalone count jobs per batch.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_spark.config import DEFAULT, EngineConfig
@@ -95,10 +109,38 @@ def stream_classify(
     pages = read_pages_stream(spark, src_dir)
     store = SnapshotStore(state_dir or out_dir.rstrip("/") + "_state")
 
+    def _stream_id() -> str | None:
+        # The checkpoint's stable query id ({checkpoint}/metadata, written
+        # at query start) — survives restarts of the same stream, differs
+        # for a fresh checkpoint directory.
+        try:
+            with open(os.path.join(checkpoint_dir, "metadata")) as f:
+                return json.load(f).get("id")
+        except (OSError, ValueError):
+            return None
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        state = store.restore_state() or {}
+        state = store.restore_state()
+        if state is None:
+            # No committed state: any existing seen/blooms tables are
+            # orphans of a crash before the first commit_state — replaying
+            # batch 0 against them would suppress its own keys. Reset.
+            for t in ("seen", "blooms"):
+                if store.exists(t):
+                    store.drop(t)
+            state = {}
+        sid = _stream_id()
+        state_sid = state.get("stream_id")
+        if state_sid is not None and sid is not None and state_sid != sid:
+            raise ValueError(
+                "state dir was committed by a different streaming query "
+                f"(state stream_id={state_sid}, checkpoint id={sid}); batch "
+                "ids restart at 0 per checkpoint, so the replay skip would "
+                "silently drop this stream's first batches. Reuse the "
+                "original checkpoint dir or start with a fresh state/out dir."
+            )
         if state.get("last_batch_id", -1) >= batch_id:
-            return  # replay of a fully-committed batch → idempotent no-op
+            return  # replay of a batch this stream fully committed → no-op
 
         res = classify_bulk(batch_df, min_confidence=min_confidence).localCheckpoint()
 
@@ -113,12 +155,15 @@ def stream_classify(
             fresh = probed.where(~F.col("_maybe_seen"))
             maybe = probed.where(F.col("_maybe_seen"))
             # exact confirm for Bloom positives only, pruned to their
-            # buckets (bounded collect: ≤ num_host_buckets ids)
-            confirm_buckets = [
-                r["_bkt"] for r in maybe.select("_bkt").distinct().collect()
-            ]
+            # buckets; bucket ids AND the confirm-rows metric come out of
+            # this one bounded aggregation job (collects ≤
+            # num_host_buckets rows) — no standalone count job
+            bucket_rows = (
+                maybe.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            confirm_buckets = [r["_bkt"] for r in bucket_rows]
+            confirm_rows = int(sum(r["n"] for r in bucket_rows))
             if confirm_buckets:
-                confirm_rows = maybe.count()
                 seen = store.read(spark, "seen").where(
                     F.col("bucket").isin(confirm_buckets)
                 )
@@ -134,6 +179,7 @@ def stream_classify(
 
         # fold the committed delta's keys into seen + blooms, then commit
         # all tables atomically; a crash before commit_state rolls back
+        obs_emit = Observation()
         new_keys = (
             spark.read.parquet(batch_dir)
             .select("warc_source", "url")
@@ -142,11 +188,13 @@ def stream_classify(
                 "bucket",
                 F.pmod(F.xxhash64("_k"), F.lit(cfg.num_host_buckets)).cast("int"),
             )
+            .observe(obs_emit, F.count(F.lit(1)).alias("emitted"))
         )
-        emitted = new_keys.count()
         seen_v = store.write(
             "seen", new_keys.select("warc_source", "url", "bucket"), append=True
         )
+        # the seen write is the action the metric rides on
+        emitted = int(obs_emit.get["emitted"])
         prev_blooms = (
             store.read(spark, "blooms")
             if store.exists("blooms")
@@ -167,6 +215,7 @@ def stream_classify(
         store.commit_state(
             {
                 "last_batch_id": batch_id,
+                "stream_id": sid if sid is not None else state_sid,
                 "tables": {"seen": seen_v, "blooms": blooms_v},
                 "history": history,
             }

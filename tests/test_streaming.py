@@ -124,8 +124,83 @@ def test_cross_batch_state_is_bounded_and_exact(spark, tmp_path):
     expect = classify_bulk(pages, min_confidence="medium").count()
     assert res.count() == expect
 
-    # replay of committed batches (fresh checkpoint, same state) is a no-op
+    # pairing committed state with a FRESH checkpoint must fail fast:
+    # batch ids restart at 0 per checkpoint, so the replay skip would
+    # silently drop a new stream's first batches (ADVICE r2)
     before = res.count()
-    stream_classify(spark, f"{src}/wave=*", out, str(tmp_path / "ckpt2")).awaitTermination(300)
-    assert spark.read.parquet(out).count() == before
+    from pyspark.errors import StreamingQueryException
+
+    q = stream_classify(spark, f"{src}/wave=*", out, str(tmp_path / "ckpt2"))
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(300)
+    assert spark.read.parquet(out).count() == before  # nothing overwritten
     pages.unpersist()
+
+
+@pytest.mark.spark
+def test_first_batch_crash_does_not_lose_batch_zero(spark, tmp_path):
+    """A crash between the seen/blooms writes and the FIRST commit_state
+    leaves orphaned tables with no state.json; on replay batch 0's own keys
+    must not probe as already-seen (which would overwrite out/batch=0 with
+    an empty dir — silent permanent loss, ADVICE r2)."""
+    from crawler_spark.config import DEFAULT
+    from crawler_spark.operators.bloom import BLOOM_SCHEMA, update_blooms
+    from crawler_spark.sources.tables import SnapshotStore
+    from crawler_spark.streaming.ingest import _key_col
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    pages = generate_pages(spark, 500, partitions=2)
+    pages.write.parquet(f"{src}/wave=0")
+
+    # simulate the crashed first attempt: seen + blooms committed for
+    # exactly batch 0's keys, state.json never written
+    store = SnapshotStore(out + "_state")
+    keys = (
+        classify_bulk(pages, min_confidence="medium")
+        .select("warc_source", "url")
+        .withColumn("_k", _key_col())
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("_k"), F.lit(DEFAULT.num_host_buckets)).cast("int"),
+        )
+    )
+    store.write("seen", keys.select("warc_source", "url", "bucket"))
+    empty = spark.createDataFrame([], BLOOM_SCHEMA)
+    store.write("blooms", update_blooms(empty, keys, key_col="_k", cfg=DEFAULT))
+    assert store.read_state() is None  # the crash window
+
+    stream_classify(spark, f"{src}/wave=*", out, ckpt).awaitTermination(300)
+    got = spark.read.parquet(out).count()
+    expect = classify_bulk(pages, min_confidence="medium").count()
+    assert got == expect and got > 0
+
+
+@pytest.mark.spark
+def test_sink_runs_no_standalone_count_jobs(spark, tmp_path, monkeypatch):
+    """History metrics must ride the batch's own jobs as Observations —
+    DataFrame.count must never be called inside the sink (VERDICT r2 #7)."""
+    from pyspark.sql import DataFrame
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    pages = generate_pages(spark, 500, partitions=2)
+    pages.write.parquet(f"{src}/wave=0")
+
+    calls: list[int] = []
+    orig = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count", lambda self: (calls.append(1), orig(self))[1]
+    )
+    # wave 0 (no-seen path), then the same rows again (probe+confirm path)
+    stream_classify(spark, f"{src}/wave=*", out, ckpt).awaitTermination(300)
+    pages.write.parquet(f"{src}/wave=1")
+    stream_classify(spark, f"{src}/wave=*", out, ckpt).awaitTermination(300)
+    n_during = len(calls)
+    monkeypatch.undo()
+
+    assert n_during == 0
+    # and the metrics still got recorded correctly
+    import json
+
+    hist = json.load(open(f"{out}_state/state.json"))["history"]
+    assert hist[0]["emitted"] > 0 and hist[1]["emitted"] == 0
+    assert hist[1]["confirm_rows"] > 0
