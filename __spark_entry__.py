@@ -426,6 +426,16 @@ def _q_warc_ingest(spark, sf_dir):
     return warc_ingest_from_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_warc_ingest_targeted(spark, sf_dir):
+    """Targeted (point-lookup) WARC ingest: header-charset decode rule
+    across four Content-Type shapes + head-sample max_bytes slice that
+    drops blobs whose first record is cut (oracle recomputes survivors
+    closed-form)."""
+    from crawler_spark.sources.warc import warc_ingest_targeted_from_documents
+
+    return warc_ingest_targeted_from_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_corpus_classify(spark, sf_dir):
     """Full crawl-corpus flagship on the synthetic generator. Oracled by a
     constant fixture derived from the row-at-a-time reference decode +
@@ -477,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": _q_media_resize,
         "media_type_stats": _q_media_stats,
         "warc_ingest": _q_warc_ingest,
+        "warc_ingest_targeted": _q_warc_ingest_targeted,
         "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
     }
@@ -581,6 +592,7 @@ GROUP BY source""",
         "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),
         "media_type_stats": SG.sql_media_stats(),
         "warc_ingest": SG.sql_warc_ingest(),
+        "warc_ingest_targeted": SG.sql_warc_ingest_targeted(),
         "cdx_latest_index": SG.sql_cdx_latest_index(),
         # corpus_classify: the gzip/charset decode + Arrow detector are
         # non-SQL, but the deterministic generator makes the expected

@@ -508,6 +508,38 @@ FROM g
 WHERE NOT (g % 5 = 0 AND gn > 1 AND doc_id = gmax)"""
 
 
+# warc_ingest_targeted: sources/warc.warc_ingest_targeted_from_documents
+# builds one uncompressed blob per doc_id%64 group; g%3==0 groups lead
+# with an 8 KiB padding response record that the max_bytes=4096 slice cuts
+# mid-payload (blob → no rows); every other blob emits exactly its first
+# response record = the group's min doc_id = g (doc_id range is
+# contiguous from 0). All four header-charset decode paths are the
+# identity on the ASCII corpus text, so the oracle recomputes url / mime /
+# n_chars / text md5 closed-form.
+
+
+def sql_warc_ingest_targeted() -> str:
+    return """
+WITH g AS (
+  SELECT doc_id, source, text, doc_id % 64 AS g,
+         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(0 AS BIGINT) AS warc_offset,
+       CAST(200 AS INT) AS status,
+       CASE doc_id % 4
+         WHEN 0 THEN 'text/html'
+         WHEN 1 THEN 'text/html; charset=ISO-8859-1; format=flowed'
+         WHEN 2 THEN 'text/html; charset=UTF-16-LE'
+         ELSE 'text/html; charset=x-unknown-enc'
+       END AS mime,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_md5
+FROM g
+WHERE rn = 1 AND g % 3 <> 0"""
+
+
 # corpus_classify ground truth: the gzip/charset decode + Arrow detector
 # pipeline is not expressible in SQL, but the generator is deterministic
 # and partition-independent, so the expected confidence histogram over

@@ -314,3 +314,88 @@ def warc_ingest_from_documents(docs: DataFrame) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
     )
+
+
+# The four Content-Type shapes the targeted decode rule must handle
+# (reference src/warc/parser.py:62-77): (header string, python codec used
+# to ENCODE the fixture body). Keyed by doc_id % 4.
+_TARGETED_CTYPES = [
+    ("text/html", "utf-8"),  # no charset= → default utf-8
+    # uppercase + trailing parameter → lowered, ';'-split, stripped
+    ("text/html; charset=ISO-8859-1; format=flowed", "iso-8859-1"),
+    # bytes that would NOT survive a utf-8-always decode
+    ("text/html; charset=UTF-16-LE", "utf-16-le"),
+    # unknown codec → utf-8 errors='ignore' fallback
+    ("text/html; charset=x-unknown-enc", "utf-8"),
+]
+
+_TARGETED_PAD = 8192
+_TARGETED_SLICE = 4096
+
+
+def warc_ingest_targeted_from_documents(docs: DataFrame) -> DataFrame:
+    """Point-lookup (targeted) ingest check over driver testdata.
+
+    Builds one UNcompressed WARC blob per ``doc_id % 64`` group (records in
+    doc_id order) and reads it back with
+    ``parse_warc_bytes(mode='targeted', max_bytes=4096)``. Covers the two
+    paths :func:`warc_ingest_from_documents` does not:
+
+    - the header-charset decode rule (reference src/warc/parser.py:62-77)
+      across the four Content-Type shapes in ``_TARGETED_CTYPES`` — the
+      UTF-16-LE case is discriminating: its bytes decoded utf-8-always
+      would NUL-interleave and fail the md5 check;
+    - the head-sample ``max_bytes`` slice (reference
+      src/warc_processor.py:179-181): groups ``g % 3 == 0`` carry a
+      padding response record larger than the slice as record 0, so the
+      cut lands mid-payload and the blob yields no rows — warcio's
+      tolerated early-end behavior.
+
+    Surviving blobs emit exactly their first response record (= the
+    group's min doc_id, which is ``g`` itself for a contiguous doc_id
+    range); the DuckDB oracle (oracle/sqlgen.sql_warc_ingest_targeted)
+    recomputes every column closed-form, all decode paths being the
+    identity on the ASCII corpus text.
+    """
+    from pyspark.sql import functions as F
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        if g % 3 == 0:
+            recs.append(
+                {
+                    "url": f"https://pad.example.com/{g}",
+                    "body": b"X" * _TARGETED_PAD,
+                    "content_type": "text/html",
+                }
+            )
+        for doc_id, source, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+            ctype, enc = _TARGETED_CTYPES[doc_id % 4]
+            recs.append(
+                {
+                    "url": f"https://{source}.example.com/d/{doc_id}",
+                    "body": text.encode(enc),
+                    "content_type": ctype,
+                }
+            )
+        blob = build_warc(recs, compress="none")
+        return pd.DataFrame(
+            {"warc_source": [f"synth-t-{g:03d}.warc"], "data": [blob]}
+        )
+
+    segments = (
+        docs.select("doc_id", "source", "text")
+        .groupBy((F.col("doc_id") % 64).alias("g"))
+        .applyInPandas(build, "warc_source string, data binary")
+    )
+    pages = parse_warc_bytes(segments, mode="targeted", max_bytes=_TARGETED_SLICE)
+    return pages.select(
+        "url",
+        "warc_offset",
+        "status",
+        "mime",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )

@@ -168,3 +168,33 @@ def test_spark_head_sample_max_bytes(spark):
     full = parse_warc_bytes(segments, mode="bulk").count()
     sampled = parse_warc_bytes(segments, mode="bulk", max_bytes=len(blob) // 2).count()
     assert full == 20 and 0 < sampled < 20
+
+
+@pytest.mark.spark
+def test_targeted_ingest_charsets_and_head_slice(spark):
+    """warc_ingest_targeted fixture: the utf-16-le body must round-trip
+    through the header-charset rule (a utf-8-always decode would NUL-
+    interleave it), and g%3==0 blobs — first record cut by the max_bytes
+    slice — must yield nothing."""
+    import pandas as pd
+    from crawler_spark.sources.warc import warc_ingest_targeted_from_documents
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(8)),
+                "source": [f"src{i}" for i in range(8)],
+                "text": [f"some doc text number {i} with words" for i in range(8)],
+            }
+        )
+    )
+    rows = {r["url"]: r for r in warc_ingest_targeted_from_documents(docs).collect()}
+    # 8 docs → 8 groups of one; g%3==0 (0,3,6) sliced away → 5 survivors
+    assert len(rows) == 5
+    assert set(rows) == {
+        f"https://src{i}.example.com/d/{i}" for i in (1, 2, 4, 5, 7)
+    }
+    # doc 2 is the UTF-16-LE case: identity decode → original char length
+    r2 = rows["https://src2.example.com/d/2"]
+    assert r2["mime"] == "text/html; charset=UTF-16-LE"
+    assert r2["n_chars"] == len("some doc text number 2 with words")
