@@ -353,7 +353,10 @@ def _q_targeted_classify(spark, sf_dir):
     res = targeted_search(
         pages, "example.com", "domain", 200, from_ts=CDX_FROM_TS, min_confidence="medium"
     )
-    return res.select("domain", "url", "schema", "confidence", "build_id", "warc_source")
+    return res.select(
+        "domain", "url", "schema", "confidence", "build_id", "warc_source",
+        "detected_at", "crawl_date",
+    )
 
 
 # ------------------------------------------------------------ multimodal --

@@ -449,7 +449,9 @@ SELECT source || '.example.com' AS domain,
        'https' AS schema,
        CASE WHEN doc_id % 10 < 2 THEN 'high' ELSE 'medium' END AS confidence,
        CASE WHEN doc_id % 10 < 2 THEN 'bld' || CAST(doc_id AS VARCHAR) END AS build_id,
-       source AS warc_source
+       source AS warc_source,
+       strftime(TIMESTAMP '2026-01-01' + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%S') AS detected_at,
+       strftime(TIMESTAMP '2026-01-01' + to_seconds(doc_id), '%Y%m%d%H%M%S') AS crawl_date
 FROM documents
 WHERE doc_id % 10 < 4
   AND strftime(TIMESTAMP '2026-01-01' + to_seconds(doc_id), '%Y%m%d%H%M%S') >= '{from_ts}'"""

@@ -40,6 +40,7 @@ def classify_bulk(
     sample_per_warc: int | None = None,
     min_confidence: str = "medium",
     dedupe: str = "per_warc",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The flagship classification plan. Returns R8 result rows:
     (domain, url, schema, confidence, indicators, build_id, version,
@@ -50,6 +51,8 @@ def classify_bulk(
         (src/warc_processor.py:179-181).
     dedupe: 'per_warc' (EP2, src/warc_processor.py:360-361),
         'global' (EP1, src/crawler.py:181-186), or 'none'.
+    extra_cols: page columns to carry through unchanged (e.g. warc_ts for
+        the targeted path's detected_at/crawl_date stand-ins).
     """
     df = pages
     if sample_per_warc is not None:
@@ -72,6 +75,7 @@ def classify_bulk(
         "url",
         "warc_source",
         "warc_offset",
+        *extra_cols,
         detect_udf(F.col("text")).alias("d"),
         canonicalize_udf(F.col("url")).alias("c"),
     )
@@ -93,6 +97,7 @@ def classify_bulk(
         F.col("d.version").alias("version"),
         "warc_source",
         "warc_offset",
+        *extra_cols,
     )
 
     if dedupe == "per_warc":

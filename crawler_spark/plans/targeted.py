@@ -103,14 +103,30 @@ def targeted_search(
     min_confidence: str = "medium",
 ) -> DataFrame:
     """EP1 end-to-end: CDX select → fetch-join pages → classify → global
-    dedupe → R7 rows (detected_at omitted: wall-clock is not data)."""
+    dedupe → R7 rows.
+
+    R7 parity decision: the reference stamps each result with wall-clock
+    ``datetime.now().isoformat()`` as ``detected_at`` (src/crawler.py:192)
+    and the CDX record's 14-digit timestamp as ``crawl_date``. Wall-clock
+    is not data in a deterministic engine, so ``detected_at`` here is a
+    deterministic stand-in — the record's crawl event time (warc_ts) in
+    the same ISO format — and ``crawl_date`` is warc_ts rendered as the
+    CDX timestamp. R7's column set is therefore complete
+    (sinks.CSV_COLS_CDX exports every column)."""
     from crawler_spark.plans.flagship import classify_bulk
 
     sel = cdx_search(
         cdx_from_pages(pages), key, match_type, filter_status, from_ts, to_ts, limit
     ).select("url")
     hits = pages.join(F.broadcast(sel), "url", "left_semi")
-    return classify_bulk(hits, min_confidence=min_confidence, dedupe="global")
+    res = classify_bulk(
+        hits, min_confidence=min_confidence, dedupe="global", extra_cols=("warc_ts",)
+    )
+    return res.select(
+        "*",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("detected_at"),
+        F.date_format("warc_ts", "yyyyMMddHHmmss").alias("crawl_date"),
+    ).drop("warc_ts")
 
 
 def crawl_catalog(pages: DataFrame, crawl_col: Column | None = None) -> DataFrame:
