@@ -63,16 +63,24 @@ FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_FRONTIER_ROUNDS", "3"))
 # SMT, so above ~4 cores NO engine can show ≥0.8 regardless of plan
 # quality. The ceiling is measured fresh each run and printed next to the
 # engine's efficiency so the two are never conflated.
+#
+# The frontier workload is sized so rounds are PRODUCTION-SHAPED: a
+# measured ~5-6 s/round serial constant (driver scheduling of ~39 stages,
+# plan time, snapshot commit — see the decomposition table in BENCH.md)
+# amortizes only when each round carries real work. budget=250 and
+# ~1.7 KB page bodies push later rounds to hundreds of thousands of
+# fetched+classified pages — the shape every round of a 100 TB crawl has.
 SCALING_LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALING_LEVELS", "1,4").split(",")
 )
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
 S_CORPUS_PAGES = int(os.environ.get("SPARK_GRAFT_S_CORPUS_PAGES", "300000"))
 S_CORPUS_WORDS = 600
 S_FRONTIER_PAGES = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_PAGES", "3000000"))
-S_FRONTIER_WORDS = 120
-S_FRONTIER_SEEDS = 80000
-S_FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_ROUNDS", "5"))
+S_FRONTIER_WORDS = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_WORDS", "240"))
+S_FRONTIER_SEEDS = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_SEEDS", "30000"))
+S_FRONTIER_BUDGET = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_BUDGET", "250"))
+S_FRONTIER_ROUNDS = int(os.environ.get("SPARK_GRAFT_S_FRONTIER_ROUNDS", "4"))
 
 # operator queries worth timing at sf0.1 (subset of __spark_entry__.queries
 # that stresses distinct physical shapes: agg, window, join, explode+join,
@@ -176,6 +184,55 @@ def _read_steal() -> tuple[int, int]:
     return vals[7] if len(vals) > 7 else 0, sum(vals)
 
 
+class _StealMeter:
+    """Per-section hypervisor steal%: how much CPU the co-tenants took
+    during a timed section. The single biggest confounder on this box."""
+
+    def __init__(self) -> None:
+        self._last = _read_steal()
+
+    def lap(self) -> float:
+        s0, t0 = self._last
+        s1, t1 = self._last = _read_steal()
+        return round(100.0 * (s1 - s0) / max(1, t1 - t0), 1)
+
+
+def _stage_tracer(spark):
+    """Snapshot-diff of completed stages via the UI REST API (only alive
+    when run_bench enables the UI for trace mode). Each call returns the
+    stage count and summed executor task-seconds since the previous call —
+    the 'packed' compute a round actually dispatched. wall − packed/cores
+    is then the driver/serial constant, itemized per round in BENCH.md."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return None
+    app = sc.applicationId
+    seen: set = set()
+
+    def snap() -> dict | None:
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+            ) as r:
+                data = json.load(r)
+        except Exception:
+            return None
+        new = [s for s in data if (s["stageId"], s.get("attemptId", 0)) not in seen]
+        for s in new:
+            seen.add((s["stageId"], s.get("attemptId", 0)))
+        return {
+            "stages": len(new),
+            "task_sec": round(
+                sum(s.get("executorRunTime", 0) for s in new) / 1000.0, 2
+            ),
+        }
+
+    return snap
+
+
 def _gen_corpus(spark, root: str, pages: int, words: int, fanout: int = 8) -> None:
     from crawler_spark.sources.corpus import generate_links, generate_pages
 
@@ -188,19 +245,35 @@ def _gen_corpus(spark, root: str, pages: int, words: int, fanout: int = 8) -> No
     ).parquet(f"{root}/links")
 
 
-def _classify_bench(spark, corpus_root: str, n_pages: int) -> dict:
+def _classify_bench(spark, corpus_root: str, n_pages: int, reps: int = 1) -> dict:
     from crawler_spark.plans.flagship import classify_bulk
 
     pages = spark.read.parquet(f"{corpus_root}/pages")
     # warm the Python UDF workers (fixed per-executor cost on a cluster)
     _noop_run(classify_bulk(pages.limit(256), min_confidence="medium"))
-    t0 = time.time()
-    _noop_run(classify_bulk(pages, min_confidence="medium"))
-    dt = time.time() - t0
-    return {"seconds": round(dt, 2), "pages_per_sec": round(n_pages / dt, 1)}
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        _noop_run(classify_bulk(pages, min_confidence="medium"))
+        times.append(round(time.time() - t0, 2))
+    dt = min(times)
+    return {
+        "seconds": dt,
+        "pages_per_sec": round(n_pages / dt, 1),
+        "rep_seconds": times,
+    }
 
 
-def _frontier_bench(spark, corpus_root: str, seeds_n: int, tmp: str, rounds: int = FRONTIER_ROUNDS) -> dict:
+def _frontier_bench(
+    spark,
+    corpus_root: str,
+    seeds_n: int,
+    tmp: str,
+    rounds: int = FRONTIER_ROUNDS,
+    budget: int = FRONTIER_BUDGET,
+    reps: int = 1,
+    trace: bool = False,
+) -> dict:
     from crawler_spark.frontier import FrontierCrawler
     from crawler_spark.sources.corpus import generate_robots, generate_seeds
     from crawler_spark.sources.tables import SnapshotStore
@@ -215,33 +288,72 @@ def _frontier_bench(spark, corpus_root: str, seeds_n: int, tmp: str, rounds: int
     # row sample sees every non-trivial host (Zipf skew) at 1/20 the
     # canonicalize cost, and is identical at every parallelism level
     robots = generate_robots(spark, pages.where(F.xxhash64("url") % 20 == 0))
-    store = SnapshotStore(f"{tmp}/store")
-    crawler = FrontierCrawler(
-        spark, store, pages, links=links, robots=robots, budget=FRONTIER_BUDGET
-    )
-    crawler.init_from_seeds(seeds)
-    t0 = time.time()
-    metrics = crawler.run(rounds, from_round=0)
-    dt = time.time() - t0
-    crawler.close()
-    expanded = sum(m.candidates for m in metrics)
-    return {
-        "seconds": round(dt, 2),
-        "urls_per_sec": round(expanded / dt, 1),
-        "expanded_total": expanded,
-    }
+    snap = _stage_tracer(spark) if trace else None
+    best: dict | None = None
+    rep_urls_per_sec = []
+    for rep in range(reps):
+        store = SnapshotStore(f"{tmp}/store{rep}")
+        crawler = FrontierCrawler(
+            spark, store, pages, links=links, robots=robots, budget=budget
+        )
+        crawler.init_from_seeds(seeds)
+        detail: list[dict] = []
+        if snap:
+            snap()  # drain seed-init stages out of round 0's diff
+
+        def _on_round(m, _detail=detail, _snap=snap):
+            d = {
+                "round": m.round,
+                "wall": round(m.seconds, 2),
+                "candidates": m.candidates,
+                **(m.trace or {}),
+            }
+            if _snap:
+                d.update(_snap() or {})
+            _detail.append(d)
+
+        t0 = time.time()
+        metrics = crawler.run(rounds, from_round=0, on_round=_on_round)
+        dt = time.time() - t0
+        crawler.close()
+        expanded = sum(m.candidates for m in metrics)
+        res = {
+            "seconds": round(dt, 2),
+            "urls_per_sec": round(expanded / dt, 1),
+            "expanded_total": expanded,
+        }
+        if trace:
+            res["rounds_detail"] = detail
+        rep_urls_per_sec.append(res["urls_per_sec"])
+        if best is None or res["urls_per_sec"] > best["urls_per_sec"]:
+            best = res
+    best["rep_urls_per_sec"] = rep_urls_per_sec
+    return best
 
 
 def run_bench(cpus: int, include_queries: bool = True) -> dict:
     from crawler_spark.session import get_spark
 
+    trace = os.environ.get("SPARK_GRAFT_TRACE", "0") == "1"
+    # Headline reps: every timed section runs HEADLINE_REPS times and the
+    # BEST is reported, with per-rep steal% alongside — single-shot numbers
+    # on this co-tenanted box swung 70-115% between rounds with no code
+    # change (r1→r2), so one sample proves nothing.
+    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "1" if trace else "2"))
     fast = _fast_tmp()
     conf = {"spark.local.dir": f"{fast}/spark-local"} if fast else {}
+    if trace:
+        # UI on (random free port) so the stage tracer can itemize each
+        # frontier round's dispatched task-seconds; off otherwise
+        conf.update({"spark.ui.enabled": "true", "spark.ui.port": "0"})
     spark = get_spark(
         app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=cpus, extra_conf=conf
     )
     timings: dict[str, float] = {}
     throughput: dict[str, float] = {}
+    detail: dict = {}
+    steal = _StealMeter()
+    steal_pct: dict[str, float] = {}
 
     corpus_dir = os.environ.get("SPARK_GRAFT_CORPUS_DIR")
     with tempfile.TemporaryDirectory(prefix="bench_corpus_", dir=fast) as tmp:
@@ -249,35 +361,58 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
             c_root, f_root = f"{corpus_dir}/classify", f"{corpus_dir}/frontier"
             n_classify = int(open(f"{corpus_dir}/n_classify").read())
             n_seeds = int(open(f"{corpus_dir}/n_seeds").read())
+            budget = int(open(f"{corpus_dir}/budget").read())
         else:
             c_root, f_root = f"{tmp}/classify", f"{tmp}/frontier"
             _gen_corpus(spark, c_root, CORPUS_PAGES, CORPUS_WORDS)
             _gen_corpus(spark, f_root, FRONTIER_PAGES, FRONTIER_WORDS)
-            n_classify, n_seeds = CORPUS_PAGES, FRONTIER_SEEDS
+            n_classify, n_seeds, budget = CORPUS_PAGES, FRONTIER_SEEDS, FRONTIER_BUDGET
+        steal.lap()
 
-        c = _classify_bench(spark, c_root, n_classify)
+        c = _classify_bench(spark, c_root, n_classify, reps=reps)
         timings["corpus_classify"] = c["seconds"]
         throughput["pages_classified_per_sec"] = c["pages_per_sec"]
+        detail["classify_rep_seconds"] = c["rep_seconds"]
+        steal_pct["corpus_classify"] = steal.lap()
 
         f = _frontier_bench(
             spark, f_root, n_seeds, tmp,
             rounds=S_FRONTIER_ROUNDS if corpus_dir else FRONTIER_ROUNDS,
+            budget=budget, reps=reps, trace=trace,
         )
         timings["frontier_rounds"] = f["seconds"]
         throughput["frontier_urls_expanded_deduped_per_sec"] = f["urls_per_sec"]
         throughput["frontier_urls_expanded_total"] = f["expanded_total"]
+        detail["frontier_rep_urls_per_sec"] = f["rep_urls_per_sec"]
+        if trace and "rounds_detail" in f:
+            detail["frontier_rounds_detail"] = f["rounds_detail"]
+        steal_pct["frontier_rounds"] = steal.lap()
 
         if include_queries:
             import __spark_entry__ as E
 
             qs = E.queries()
+            # rep0 over the whole suite, then rep1 over the whole suite
+            # (interleaved at suite granularity): a co-tenant burst hits
+            # one whole pass, not one unlucky query; per-query best-of
+            rep_times: dict[str, list[float]] = {n: [] for n in BENCH_QUERIES}
+            for rep in range(reps):
+                for name in BENCH_QUERIES:
+                    t0 = time.time()
+                    _noop_run(qs[name](spark, SF_DIR))
+                    rep_times[name].append(round(time.time() - t0, 2))
+                steal_pct[f"query_pass_{rep}"] = steal.lap()
             for name in BENCH_QUERIES:
-                t0 = time.time()
-                _noop_run(qs[name](spark, SF_DIR))
-                timings[name] = round(time.time() - t0, 2)
+                timings[name] = min(rep_times[name])
+            detail["query_rep_seconds"] = rep_times
 
     spark.stop()
-    return {"timings": timings, "throughput": throughput}
+    return {
+        "timings": timings,
+        "throughput": throughput,
+        "detail": detail,
+        "steal_pct": steal_pct,
+    }
 
 
 # ------------------------------------------------------------- scaling --
@@ -308,13 +443,16 @@ def _scaling() -> dict:
         spark.stop()
         open(f"{tmp}/n_classify", "w").write(str(S_CORPUS_PAGES))
         open(f"{tmp}/n_seeds", "w").write(str(S_FRONTIER_SEEDS))
+        open(f"{tmp}/budget", "w").write(str(S_FRONTIER_BUDGET))
 
+        out["rounds_detail"] = {}
         for rep in range(reps):
             for cpus in levels:
                 env = dict(
                     os.environ,
                     SPARK_GRAFT_CPUS=str(cpus),
                     SPARK_GRAFT_CORPUS_DIR=tmp,
+                    SPARK_GRAFT_TRACE="1",
                 )
                 s0, t0 = _read_steal()
                 # Pin the WHOLE process tree (JVM + Python UDF workers) to
@@ -338,20 +476,40 @@ def _scaling() -> dict:
                 out["reps"].append(
                     {"rep": rep, "cpus": cpus, "steal_pct": steal_pct, **res["throughput"]}
                 )
+                rd = res.get("detail", {}).get("frontier_rounds_detail")
+                if rd:
+                    # keep the detail of the FASTEST traced rep per level —
+                    # that's the one closest to the unloaded machine
+                    cur = out["rounds_detail"].get(cpus)
+                    tput = res["throughput"]["frontier_urls_expanded_deduped_per_sec"]
+                    if cur is None or tput > cur["urls_per_sec"]:
+                        out["rounds_detail"][cpus] = {
+                            "urls_per_sec": tput, "rounds": rd,
+                        }
 
     lo, hi = levels
     ratio = hi / lo
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
     eff = {}
     for key in ("pages_classified_per_sec", "frontier_urls_expanded_deduped_per_sec"):
-        best = {
-            c: max(r[key] for r in out["reps"] if r["cpus"] == c) for c in levels
-        }
+        per = {c: [r[key] for r in out["reps"] if r["cpus"] == c] for c in levels}
+        best = {c: max(v) for c, v in per.items()}
+        med = {c: _median(v) for c, v in per.items()}
         e = round(best[hi] / best[lo] / ratio, 3)
+        e_med = round(med[hi] / med[lo] / ratio, 3)
         eff[key] = {
             f"local[{lo}]": best[lo],
             f"local[{hi}]": best[hi],
+            f"median_local[{lo}]": round(med[lo], 1),
+            f"median_local[{hi}]": round(med[hi], 1),
             "speedup": round(best[hi] / best[lo], 2),
             "efficiency": e,
+            "efficiency_median": e_med,
             "efficiency_vs_cpu_ceiling": round(e / ceiling["ceiling"], 3),
         }
     out["efficiency"] = eff
@@ -397,7 +555,10 @@ def _write_bench_md(sc: dict) -> None:
         "",
         f"Workloads: classify {S_CORPUS_PAGES} pages × ~{S_CORPUS_WORDS * 7}B text;",
         f"frontier {S_FRONTIER_PAGES} pages / {S_FRONTIER_SEEDS} seeds / budget",
-        f"{FRONTIER_BUDGET} × {S_FRONTIER_ROUNDS} BFS rounds.",
+        f"{S_FRONTIER_BUDGET} × {S_FRONTIER_ROUNDS} BFS rounds. The frontier",
+        "rounds are sized PRODUCTION-SHAPED: each round's dispatched compute",
+        "must dominate the per-round driver constant (itemized below), the",
+        "same ratio every round of a 100 TB crawl has.",
         "",
         "## Per-rep throughput",
         "",
@@ -412,24 +573,62 @@ def _write_bench_md(sc: dict) -> None:
         )
     lines += [
         "",
-        "## Best-of-rep scaling",
+        "## Scaling (best-of-rep, with median alongside)",
         "",
-        f"| metric | local[{lo}] | local[{hi}] | speedup | efficiency | vs ceiling |",
-        "|---|---|---|---|---|---|",
+        f"| metric | local[{lo}] | local[{hi}] | speedup | efficiency "
+        f"| eff (median) | vs ceiling |",
+        "|---|---|---|---|---|---|---|",
     ]
     for key, row in sc["efficiency"].items():
         lines.append(
             f"| {key} | {row[f'local[{lo}]']} | {row[f'local[{hi}]']} | "
             f"{row['speedup']}x | {row['efficiency']} | "
+            f"{row['efficiency_median']} | "
             f"{row['efficiency_vs_cpu_ceiling']} |"
         )
     lines += [
         "",
         "Efficiency = speedup / (core ratio); `vs ceiling` divides by the",
-        "same-run pure-CPU hardware ceiling. Generated by",
-        "`python bench.py --scaling`.",
+        "same-run pure-CPU hardware ceiling; `eff (median)` uses the median",
+        "rep per level instead of the best (robustness check — best-of is",
+        "the headline because it approximates the unloaded machine).",
         "",
     ]
+    rd = sc.get("rounds_detail") or {}
+    if rd:
+        lines += [
+            "## Frontier per-round serial-cost decomposition",
+            "",
+            "Per completed stage set, the UI REST API reports the executor",
+            "task-seconds each round actually dispatched (`packed`).",
+            "`ideal` = packed/cores is what a perfectly-parallel engine",
+            "would spend on that work; `serial` = wall − ideal is the",
+            "driver constant (planning ~39 stages, Observation reads,",
+            "snapshot commit). Scaling efficiency is bounded by",
+            "Amdahl: rounds whose packed work dwarfs the constant scale;",
+            "tiny rounds cannot — on ANY engine.",
+            "",
+        ]
+        for cpus in sorted(rd):
+            d = rd[cpus]
+            lines += [
+                f"### local[{cpus}] (fastest traced rep, "
+                f"{d['urls_per_sec']} urls/s)",
+                "",
+                "| round | candidates | wall s | stages | packed task-s "
+                "| ideal s | serial s |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for row in d["rounds"]:
+                wall = row.get("wall", 0.0)
+                packed = row.get("task_sec", 0.0)
+                ideal = round(packed / cpus, 2)
+                lines.append(
+                    f"| {row['round']} | {row.get('candidates', '')} | {wall} | "
+                    f"{row.get('stages', '')} | {packed} | {ideal} | "
+                    f"{round(max(0.0, wall - ideal), 2)} |"
+                )
+            lines.append("")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
 
@@ -444,7 +643,7 @@ def main() -> None:
     one_shot = "--one-shot" in sys.argv
     res = run_bench(CPUS, include_queries=not one_shot)
     out = {
-        "metric": "headline query wall time (flagship classify + frontier BFS + operator suite)",
+        "metric": "headline query wall time (flagship classify + frontier BFS + operator suite; best-of-rep per section)",
         "value": round(sum(res["timings"].values()), 2),
         "unit": "sec",
         "queries": res["timings"],
@@ -452,6 +651,8 @@ def main() -> None:
         "cpus": CPUS,
         "corpus_pages": CORPUS_PAGES,
         "throughput": res["throughput"],
+        "detail": res["detail"],
+        "steal_pct": res["steal_pct"],
     }
     print(json.dumps(out))
 

@@ -672,10 +672,18 @@ class FrontierCrawler:
             df.unpersist()
         return m
 
-    def run(self, max_rounds: int, from_round: int | None = None) -> list[RoundMetrics]:
+    def run(
+        self,
+        max_rounds: int,
+        from_round: int | None = None,
+        on_round=None,
+    ) -> list[RoundMetrics]:
         """Run rounds until the frontier drains or max_rounds. The drain
         check reuses the previous round's frontier-write observation — no
-        per-iteration count job."""
+        per-iteration count job.
+
+        on_round: optional progress hook called with each RoundMetrics as
+        the round commits (bench/monitoring use; exceptions propagate)."""
         start = (from_round if from_round is not None else self.resume()) + 1
         out: list[RoundMetrics] = []
         prev_next: int | None = None
@@ -693,6 +701,8 @@ class FrontierCrawler:
                     break
                 m = self.run_round(r)
                 out.append(m)
+                if on_round is not None:
+                    on_round(m)
                 prev_next = m.next_frontier
         finally:
             self.spark.conf.set(aqe_key, prev_aqe)
