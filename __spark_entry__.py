@@ -285,6 +285,16 @@ def _q_minhash_lsh(spark, sf_dir):
     return TD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """LSH candidate pairs → connected components → cluster per doc with
+    the canonical (min-id) survivor flagged. The full dedup pipeline's
+    final stage (operators/components.py)."""
+    from crawler_spark.operators.components import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_clusters(d, TD.minhash_lsh_pairs(d))
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -476,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_neardups": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_candidates": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_fingerprints": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
@@ -581,6 +592,7 @@ GROUP BY source""",
         "ngram_jaccard_neardups": SG.sql_ngram_jaccard(),
         "minhash_signatures": SG.sql_minhash_signatures(),
         "minhash_lsh_candidates": SG.sql_minhash_lsh_pairs(),
+        "dedup_clusters": SG.sql_dedup_clusters(),
         "simhash_fingerprints": SG.sql_simhash(),
         "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),

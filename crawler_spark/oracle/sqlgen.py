@@ -185,6 +185,51 @@ FROM bt a JOIN bt b
  AND a.doc_id < b.doc_id"""
 
 
+def sql_dedup_clusters() -> str:
+    """Duplicate clusters over the MinHash-LSH candidate graph: component
+    label = min reachable doc_id, via a recursive min-reachability CTE —
+    the declarative twin of the Spark side's large-star/small-star
+    contraction (operators/components.py)."""
+    rows = MINHASH_HASHES // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        concat = " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    sig_cte = _minhash_sig_cte(NGRAM_N, MINHASH_HASHES).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    )
+    return f"""{sig_cte},
+bt AS ({bands_union}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bt a JOIN bt b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON r.u = s.v
+),
+comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz USING (cluster_id)"""
+
+
 def sql_simhash() -> str:
     bit_sums = ",\n         ".join(
         f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(SIMHASH_BITS)
