@@ -295,6 +295,27 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(d, TD.minhash_lsh_pairs(d))
 
 
+def _q_boilerplate_removal(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate stripping: segments recurring
+    in >= BOILERPLATE_MIN_DOCS distinct docs are removed from every doc
+    (hot set broadcast into a left_anti join — the corpus is never
+    shuffled by line)."""
+    from crawler_spark.operators.textclean import remove_boilerplate
+
+    return remove_boilerplate(
+        _t(spark, sf_dir, "documents"), segments=True
+    )
+
+
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText within-doc repetition gates (dup-line and
+    top-2-gram shares, integer per-mille) — two-level map-side-combine
+    aggregates."""
+    from crawler_spark.operators.textclean import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), segments=True)
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -487,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
+        "boilerplate_removal": _q_boilerplate_removal,
+        "repetition_stats": _q_repetition_stats,
         "simhash_fingerprints": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
@@ -593,6 +616,8 @@ GROUP BY source""",
         "minhash_signatures": SG.sql_minhash_signatures(),
         "minhash_lsh_candidates": SG.sql_minhash_lsh_pairs(),
         "dedup_clusters": SG.sql_dedup_clusters(),
+        "boilerplate_removal": SG.sql_boilerplate_removal(),
+        "repetition_stats": SG.sql_repetition_stats(),
         "simhash_fingerprints": SG.sql_simhash(),
         "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),

@@ -247,6 +247,92 @@ bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits"""
 
 
+def _seg_lines_cte(k: int) -> str:
+    """CTEs sd(words) + segs + lines(doc_id, pos, line): fixed k-word
+    segmentation of the word stream (the synthetic corpus has no
+    newlines) with 0-based positions — mirrors
+    operators/textclean.word_segments + doc_lines(segments=True)."""
+    return f"""
+sd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id,
+         list_transform(range(CAST(ceil(len(w) / {k}.0) AS BIGINT)),
+                        i -> array_to_string(w[i*{k}+1:i*{k}+{k}], ' ')) AS s
+  FROM sd
+),
+lines AS (
+  SELECT doc_id, u.i - 1 AS pos, s[u.i] AS line
+  FROM segs, unnest(generate_series(1, len(s))) AS u(i)
+)"""
+
+
+def sql_boilerplate_removal() -> str:
+    from crawler_spark.operators.textclean import (
+        BOILERPLATE_MIN_DOCS,
+        SEGMENT_WORDS,
+    )
+
+    return f"""
+WITH {_seg_lines_cte(SEGMENT_WORDS)},
+hot AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+  ) WHERE n_docs >= {BOILERPLATE_MIN_DOCS}
+),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+rebuilt AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id"""
+
+
+def sql_repetition_stats() -> str:
+    from crawler_spark.operators.textclean import (
+        DUP_LINE_PM_MAX,
+        SEGMENT_WORDS,
+        TOP_2GRAM_PM_MAX,
+    )
+
+    return f"""
+WITH {_seg_lines_cte(SEGMENT_WORDS)},
+lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+ls AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, count(*) AS n_distinct
+  FROM lc GROUP BY doc_id
+),
+ld AS (
+  SELECT doc_id, n_lines,
+         CAST(floor((n_lines - n_distinct) * 1000 / n_lines) AS BIGINT)
+           AS dup_line_pm
+  FROM ls
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> array_to_string(w[i:i+1], ' '))) AS ng
+  FROM sd WHERE len(w) >= 2
+),
+gc AS (SELECT doc_id, ng, count(*) AS c FROM g GROUP BY doc_id, ng),
+gs AS (
+  SELECT doc_id,
+         CAST(floor(max(c) * 1000 / sum(c)) AS BIGINT) AS top_2gram_pm
+  FROM gc GROUP BY doc_id
+)
+SELECT ld.doc_id, ld.n_lines, ld.dup_line_pm,
+       CAST(coalesce(gs.top_2gram_pm, 0) AS BIGINT) AS top_2gram_pm,
+       (ld.dup_line_pm > {DUP_LINE_PM_MAX}
+        OR coalesce(gs.top_2gram_pm, 0) > {TOP_2GRAM_PM_MAX}) AS is_repetitive
+FROM ld LEFT JOIN gs ON gs.doc_id = ld.doc_id"""
+
+
 # ------------------------------------------------------------- embeddings --
 
 
