@@ -316,6 +316,16 @@ def _q_repetition_stats(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), segments=True)
 
 
+def _q_decontaminate(spark, sf_dir):
+    """GPT-3/PaLM-style benchmark decontamination: per-training-doc
+    rolling-8-gram overlap vs a deterministic held-out split, eval gram
+    hashes broadcast (operators/decontam.py)."""
+    from crawler_spark.operators import decontam as DC
+
+    d = _t(spark, sf_dir, "documents")
+    return DC.contamination(DC.train_split(d), DC.eval_split(d))
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -510,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "boilerplate_removal": _q_boilerplate_removal,
         "repetition_stats": _q_repetition_stats,
+        "decontaminate": _q_decontaminate,
         "simhash_fingerprints": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
@@ -618,6 +629,7 @@ GROUP BY source""",
         "dedup_clusters": SG.sql_dedup_clusters(),
         "boilerplate_removal": SG.sql_boilerplate_removal(),
         "repetition_stats": SG.sql_repetition_stats(),
+        "decontaminate": SG.sql_decontaminate(),
         "simhash_fingerprints": SG.sql_simhash(),
         "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),

@@ -333,6 +333,45 @@ SELECT ld.doc_id, ld.n_lines, ld.dup_line_pm,
 FROM ld LEFT JOIN gs ON gs.doc_id = ld.doc_id"""
 
 
+def sql_decontaminate() -> str:
+    from crawler_spark.operators.decontam import (
+        CONTAM_NGRAM,
+        EVAL_MOD,
+        EVAL_REM,
+    )
+
+    n = CONTAM_NGRAM
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, {sql_h64('ng')} AS gh
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - {n - 2}),
+                                 i -> array_to_string(w[i:i+{n - 1}], ' '))) AS ng
+    FROM d WHERE len(w) >= {n}
+  )
+),
+ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+tg AS (SELECT doc_id, gh FROM g WHERE doc_id % {EVAL_MOD} != {EVAL_REM}),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM tg JOIN ev USING (gh) GROUP BY doc_id
+),
+base AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {EVAL_MOD} != {EVAL_REM})
+SELECT b.doc_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(t.n_grams, 0) > 0
+                 THEN floor(coalesce(h.n_hits, 0) * 1000 / t.n_grams)
+                 ELSE 0 END AS BIGINT) AS contam_pm,
+       (coalesce(h.n_hits, 0) > 0) AS is_contaminated
+FROM base b
+LEFT JOIN totals t ON t.doc_id = b.doc_id
+LEFT JOIN hits h ON h.doc_id = b.doc_id"""
+
+
 # ------------------------------------------------------------- embeddings --
 
 
