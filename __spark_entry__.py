@@ -326,6 +326,28 @@ def _q_decontaminate(spark, sf_dir):
     return DC.contamination(DC.train_split(d), DC.eval_split(d))
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """Pre-training PII scrub (emails/phones/SSNs/IPv4 → tokens) as a
+    chained JVM regexp_replace — deterministic id-derived PII planted
+    per row since the synthetic corpus carries none
+    (functions/redact.py)."""
+    from crawler_spark.functions import redact as RD
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        RD.inject_pii_demo(F.col("text"), F.col("doc_id")).alias("t"),
+    )
+    return t.select(
+        "doc_id",
+        RD.redact_pii(F.col("t")).alias("scrubbed"),
+        RD.pii_count(F.col("t"), "email").alias("n_emails"),
+        RD.pii_count(F.col("t"), "phone").alias("n_phones"),
+        RD.pii_count(F.col("t"), "ssn").alias("n_ssns"),
+        RD.pii_count(F.col("t"), "ipv4").alias("n_ips"),
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -521,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": _q_boilerplate_removal,
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
+        "pii_scrub": _q_pii_scrub,
         "simhash_fingerprints": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
@@ -630,6 +653,7 @@ GROUP BY source""",
         "boilerplate_removal": SG.sql_boilerplate_removal(),
         "repetition_stats": SG.sql_repetition_stats(),
         "decontaminate": SG.sql_decontaminate(),
+        "pii_scrub": SG.sql_pii_scrub(),
         "simhash_fingerprints": SG.sql_simhash(),
         "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),

@@ -372,6 +372,25 @@ LEFT JOIN totals t ON t.doc_id = b.doc_id
 LEFT JOIN hits h ON h.doc_id = b.doc_id"""
 
 
+def sql_pii_scrub() -> str:
+    from crawler_spark.functions.redact import (
+        sql_inject_pii_demo,
+        sql_pii_count,
+        sql_redact_pii,
+    )
+
+    inj = sql_inject_pii_demo("text", "doc_id")
+    return f"""
+WITH t AS (SELECT doc_id, {inj} AS t FROM documents)
+SELECT doc_id,
+       {sql_redact_pii('t')} AS scrubbed,
+       {sql_pii_count('t', 'email')} AS n_emails,
+       {sql_pii_count('t', 'phone')} AS n_phones,
+       {sql_pii_count('t', 'ssn')} AS n_ssns,
+       {sql_pii_count('t', 'ipv4')} AS n_ips
+FROM t"""
+
+
 # ------------------------------------------------------------- embeddings --
 
 
