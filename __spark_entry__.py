@@ -348,6 +348,18 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic corpus rebalancing: downsample the over-represented
+    'en' stratum to 300pm via a salted-hash Bernoulli (map-side literal
+    CASE, zero shuffle); per-stratum audit with membership checksums
+    (operators/sampling.py)."""
+    from crawler_spark.operators import sampling as SP
+
+    return SP.sample_report(
+        _t(spark, sf_dir, "documents"), SP.BALANCE_RATES_PM
+    )
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_t(spark, sf_dir, "documents"))
 
@@ -544,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "decontaminate": _q_decontaminate,
         "pii_scrub": _q_pii_scrub,
+        "stratified_sample": _q_stratified_sample,
         "simhash_fingerprints": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
@@ -654,6 +667,7 @@ GROUP BY source""",
         "repetition_stats": SG.sql_repetition_stats(),
         "decontaminate": SG.sql_decontaminate(),
         "pii_scrub": SG.sql_pii_scrub(),
+        "stratified_sample": SG.sql_stratified_sample(),
         "simhash_fingerprints": SG.sql_simhash(),
         "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),

@@ -391,6 +391,34 @@ SELECT doc_id,
 FROM t"""
 
 
+def sql_stratified_sample() -> str:
+    from crawler_spark.operators.sampling import (
+        BALANCE_RATES_PM,
+        DEFAULT_RATE_PM,
+        SAMPLE_SALT,
+    )
+
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(BALANCE_RATES_PM.items())
+    )
+    bucket = sql_h64(f"(CAST(doc_id AS VARCHAR) || '|{SAMPLE_SALT}')")
+    return f"""
+WITH f AS (
+  SELECT lang, doc_id,
+         CASE WHEN ({bucket} % 1000) <
+                   (CASE lang {whens} ELSE {DEFAULT_RATE_PM} END)
+              THEN doc_id END AS sid
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(sid) AS BIGINT) AS n_sampled,
+       CAST(coalesce(sum(sid), 0) AS BIGINT) AS sum_ids,
+       CAST(coalesce(bit_xor(sid), 0) AS BIGINT) AS xor_ids,
+       CAST(floor(count(sid) * 1000 / count(*)) AS BIGINT) AS achieved_pm
+FROM f GROUP BY lang"""
+
+
 # ------------------------------------------------------------- embeddings --
 
 
