@@ -526,6 +526,47 @@ def _q_corpus_classify(spark, sf_dir):
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
+def _q_robots_rules(spark, sf_dir):
+    """robots.txt parsing (functions/robots_parse.py): bodies are a
+    closed-form function of g = doc_id % 50 covering three shapes — a
+    host with no ``*`` group, a CRLF+inline-comment+colon-in-value body,
+    and a multi-group body with an ignored non-numeric Crawl-delay — so
+    the oracle recomputes the expected rules arithmetically."""
+    from crawler_spark.functions.robots_parse import robots_from_bodies
+
+    g = F.col("g")
+    gs = g.cast("string")
+    body_a = F.lit("User-agent: googlebot\nDisallow: /goog-only\n")
+    body_b = F.concat(
+        F.lit("USER-AGENT: *\r\nDISALLOW: /a:"), gs,
+        F.lit("  # inline comment\r\nCrawl-Delay: "),
+        (g % 7).cast("string"), F.lit(".5\r\n"),
+    )
+    body_c = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /g\n\n"
+              "User-agent: *\nDisallow: /admin\nDisallow: /p"), gs,
+        F.lit("\nCrawl-delay: soon\nCrawl-delay: "), (g % 9).cast("string"),
+    )
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 50).alias("g"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), gs, F.lit(".example.com")).alias("host"),
+            F.when(g % 5 == 0, body_a)
+            .when(g % 3 == 0, body_b)
+            .otherwise(body_c)
+            .alias("robots_txt"),
+        )
+    )
+    return robots_from_bodies(hosts).select(
+        "host",
+        F.size("disallow_prefixes").cast("long").alias("n_rules"),
+        F.array_join("disallow_prefixes", ",").alias("rules"),
+        "crawl_delay",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -574,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_targeted": _q_warc_ingest_targeted,
         "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
+        "robots_rules": _q_robots_rules,
     }
 
 
@@ -690,4 +732,5 @@ GROUP BY source""",
         # reference oracles (tools/gen_corpus_fixture.py, re-checked by
         # tests/test_corpus.py every run).
         "corpus_classify": SG.sql_corpus_classify(),
+        "robots_rules": SG.sql_robots_rules(),
     }

@@ -1,0 +1,111 @@
+"""robots.txt parsing — raw fetched body → rules row, fully JVM-side.
+
+Completes the robots path: fetched robots.txt bodies become the
+(host, disallow_prefixes, crawl_delay) table that
+:func:`crawler_spark.operators.robots.gate_tag` consumes. (North-rule
+component; the reference crawls only Common Crawl's own servers and
+ships no robots handling.)
+
+Semantics (RFC 9309, simplified to the wildcard agent — documented
+subset, same as most large-crawl pipelines' first gate):
+- groups are runs of ``User-agent:`` lines followed by rules; a group
+  applies when ANY of its agent lines is ``*``;
+- ``Disallow:`` with a non-empty value appends a prefix; empty
+  ``Disallow:`` means allow-all (adds nothing);
+- ``Crawl-delay:`` (non-standard but ubiquitous) — last applicable
+  value wins; non-numeric values are ignored;
+- comments (``#`` to end of line), blank lines, ``\\r`` and
+  surrounding whitespace are tolerated; keys are case-insensitive;
+- rules before any ``User-agent:`` line belong to no group (ignored).
+
+Implementation: one ``F.aggregate`` fold over the split lines with a
+struct accumulator — a per-row O(lines) JVM pass, no Python UDF, no
+shuffle; parsing 10^8 robots bodies is a pure map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _clean_lines(txt: Column) -> Column:
+    """Lines with comments stripped and whitespace/CR trimmed.
+
+    ``F.trim`` strips only spaces; robots bodies use CRLF endings, so
+    trim the full whitespace class like Python's ``str.strip``.
+    """
+    return F.transform(
+        F.split(txt, "\n"),
+        lambda ln: F.regexp_replace(
+            F.regexp_replace(ln, "#.*", ""), r"^\s+|\s+$", ""
+        ),
+    )
+
+
+def parse_robots(txt: Column) -> Column:
+    """struct(disallow_prefixes array<string>, crawl_delay double) for
+    the ``*`` agent. NULL input → empty rules (allow everything)."""
+    key = lambda ln: F.lower(F.trim(F.substring_index(ln, ":", 1)))  # noqa: E731
+    # value = text after the FIRST colon (values may themselves contain
+    # colons, e.g. "Disallow: /a:b")
+    val = lambda ln: F.trim(F.regexp_replace(ln, "^[^:]*:", ""))  # noqa: E731
+
+    def step(acc, ln):
+        k, v = key(ln), val(ln)
+        is_ua = k == "user-agent"
+        # a UA line after a rule line opens a NEW group header
+        new_applies = F.when(
+            is_ua & acc["in_header"], acc["applies"] | (v == "*")
+        ).otherwise(v == "*")
+        applies = F.when(is_ua, new_applies).otherwise(acc["applies"])
+        in_header = is_ua
+        add_prefix = (
+            ~is_ua
+            & acc["applies"]
+            & (k == "disallow")
+            & (F.length(v) > 0)
+        )
+        prefixes = F.when(
+            add_prefix, F.array_append(acc["prefixes"], v)
+        ).otherwise(acc["prefixes"])
+        num = F.when(
+            ~is_ua & acc["applies"] & (k == "crawl-delay"),
+            v.try_cast("double"),
+        )
+        delay = F.coalesce(num, acc["delay"])
+        return F.struct(
+            in_header.alias("in_header"),
+            applies.alias("applies"),
+            prefixes.alias("prefixes"),
+            delay.alias("delay"),
+        )
+
+    init = F.struct(
+        F.lit(False).alias("in_header"),
+        F.lit(False).alias("applies"),
+        F.array().cast("array<string>").alias("prefixes"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+    folded = F.aggregate(
+        F.filter(_clean_lines(F.coalesce(txt, F.lit(""))), lambda ln: F.length(ln) > 0),
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["prefixes"].alias("disallow_prefixes"),
+            acc["delay"].alias("crawl_delay"),
+        ),
+    )
+    return folded
+
+
+def robots_from_bodies(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, disallow_prefixes, crawl_delay) — the exact shape
+    operators/robots.gate_tag consumes."""
+    parsed = parse_robots(F.col(body_col))
+    return df.select(
+        F.col(host_col).alias("host"),
+        parsed["disallow_prefixes"].alias("disallow_prefixes"),
+        parsed["crawl_delay"].alias("crawl_delay"),
+    )

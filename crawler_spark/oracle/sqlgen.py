@@ -790,3 +790,28 @@ SELECT source || '.example.com' AS domain,
        source AS warc_source
 FROM documents
 WHERE doc_id % 10 < 4"""
+
+
+# ------------------------------------------------------------ robots parse --
+
+# robots_rules ground truth: bodies are a closed-form function of
+# g = doc_id % 50 (three shapes: no-* group / CRLF+comment+colon-value /
+# multi-group with ignored non-numeric Crawl-delay), so the parse result
+# is itself closed-form — the oracle recomputes it arithmetically and
+# any divergence in the JVM fold (functions/robots_parse.py) shows up as
+# a value-hash mismatch.
+
+
+def sql_robots_rules() -> str:
+    return """
+WITH g AS (SELECT DISTINCT doc_id % 50 AS g FROM documents)
+SELECT 'site' || CAST(g AS VARCHAR) || '.example.com' AS host,
+       CAST(CASE WHEN g % 5 = 0 THEN 0 WHEN g % 3 = 0 THEN 1 ELSE 2 END
+            AS BIGINT) AS n_rules,
+       CASE WHEN g % 5 = 0 THEN ''
+            WHEN g % 3 = 0 THEN '/a:' || CAST(g AS VARCHAR)
+            ELSE '/admin,/p' || CAST(g AS VARCHAR) END AS rules,
+       CASE WHEN g % 5 = 0 THEN NULL
+            WHEN g % 3 = 0 THEN (g % 7) + 0.5
+            ELSE CAST(g % 9 AS DOUBLE) END AS crawl_delay
+FROM g"""
