@@ -526,6 +526,17 @@ def _q_corpus_classify(spark, sf_dir):
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
+def _q_span_dedup(spark, sf_dir):
+    """Exact duplicated-span removal (operators/spandedup.py): rewrite
+    every document with non-canonical duplicated K-word windows stripped
+    (Lee et al. 2021 ExactSubstr, word-window variant). The oracle
+    recomputes occurrences, canonical keeps, covered positions, and the
+    rebuilt text md5 in pure SQL."""
+    from crawler_spark.operators.spandedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(_t(spark, sf_dir, "documents"))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -616,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
         "robots_rules": _q_robots_rules,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -733,4 +745,5 @@ GROUP BY source""",
         # tests/test_corpus.py every run).
         "corpus_classify": SG.sql_corpus_classify(),
         "robots_rules": SG.sql_robots_rules(),
+        "span_dedup": SG.sql_span_dedup(),
     }

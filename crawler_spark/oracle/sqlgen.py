@@ -815,3 +815,47 @@ SELECT 'site' || CAST(g AS VARCHAR) || '.example.com' AS host,
             WHEN g % 3 = 0 THEN (g % 7) + 0.5
             ELSE CAST(g % 9 AS DOUBLE) END AS crawl_delay
 FROM g"""
+
+
+# -------------------------------------------------------------- span dedup --
+
+
+def sql_span_dedup() -> str:
+    from crawler_spark.functions.texthash import sql_h64
+    from crawler_spark.operators.spandedup import POS_PACK, SPAN_NGRAM
+
+    k = SPAN_NGRAM
+    gh = sql_h64(f"array_to_string(w[i:i+{k - 1}], ' ')")
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+  SELECT doc_id, i - 1 AS pos, {gh} AS gh,
+         doc_id * {POS_PACK} + (i - 1) AS okey
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {k - 2})) AS i
+        FROM d WHERE len(w) >= {k})
+),
+dup AS (SELECT gh, min(okey) AS keep_okey
+        FROM occ GROUP BY gh HAVING count(*) >= 2),
+dup_occ AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gh)
+  WHERE o.okey != dup.keep_okey
+),
+cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS wpos
+        FROM dup_occ),
+ncov AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+wp AS (SELECT doc_id, unnest(w) AS word, unnest(range(0, len(w))) AS wpos
+       FROM d),
+kept AS (
+  SELECT wp.doc_id, string_agg(wp.word, ' ' ORDER BY wp.wpos) AS ct
+  FROM wp ANTI JOIN cov ON wp.doc_id = cov.doc_id AND wp.wpos = cov.wpos
+  GROUP BY wp.doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.w) AS BIGINT) AS n_words,
+       CAST(coalesce(n.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(floor(coalesce(n.n_removed, 0) * 1000 / len(d.w)) AS BIGINT)
+         AS dup_span_pm,
+       md5(coalesce(k.ct, '')) AS clean_md5
+FROM d
+LEFT JOIN ncov n USING (doc_id)
+LEFT JOIN kept k USING (doc_id)"""

@@ -1,0 +1,112 @@
+"""Duplicated-span removal (operators/spandedup.py).
+
+Reference oracle: an independent imperative Python implementation of
+the same documented semantics (keep the globally-first occurrence of
+every duplicated K-window, remove words covered by the rest).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from crawler_spark.operators.spandedup import (
+    SPAN_NGRAM,
+    remove_duplicated_spans,
+)
+
+K = 4  # small window so fixtures stay readable
+
+
+def _py_remove(docs: dict[int, str], k: int = K) -> dict[int, tuple]:
+    occ = []  # (doc, pos, gram)
+    for d in sorted(docs):
+        w = docs[d].split(" ")
+        for i in range(len(w) - k + 1):
+            occ.append((d, i, " ".join(w[i : i + k])))
+    by_gram: dict[str, list] = {}
+    for d, i, g in occ:
+        by_gram.setdefault(g, []).append((d, i))
+    covered: dict[int, set] = {d: set() for d in docs}
+    for g, locs in by_gram.items():
+        if len(locs) < 2:
+            continue
+        keep = min(locs)
+        for d, i in locs:
+            if (d, i) != keep:
+                covered[d].update(range(i, i + k))
+    out = {}
+    for d in docs:
+        w = docs[d].split(" ")
+        kept = [x for j, x in enumerate(w) if j not in covered[d]]
+        clean = " ".join(kept)
+        pm = len(covered[d]) * 1000 // len(w)
+        out[d] = (
+            len(w),
+            len(covered[d]),
+            pm,
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    return out
+
+
+SHARED = "alpha beta gamma delta"  # one full K-window, shared everywhere
+DOCS = {
+    # doc 1 holds the canonical (first) occurrence of SHARED
+    1: f"{SHARED} unique one text tail",
+    # doc 2 repeats SHARED — its copy must be removed
+    2: f"lead in {SHARED} and more words",
+    # doc 3: within-doc repeat — second copy removed, first kept
+    # (it is NOT the global first, so it is removed too)
+    3: f"{SHARED} middle bit {SHARED}",
+    # doc 4: no duplicated window at all
+    4: "totally fresh words never repeated anywhere at all",
+    # doc 5: fully duplicated against doc 4? no — unique short doc,
+    # shorter than K has no windows and survives untouched
+    5: "tiny doc",
+}
+
+
+def test_matches_python_oracle(spark):
+    df = spark.createDataFrame(
+        [(d, t) for d, t in DOCS.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_removed"],
+            r["dup_span_pm"],
+            r["clean_md5"],
+        )
+        for r in remove_duplicated_spans(df, k=K).collect()
+    }
+    exp = _py_remove(DOCS)
+    assert got == exp
+    # pin the semantics by hand, independent of both implementations:
+    # doc 1 keeps everything (canonical copy of SHARED lives here)
+    assert got[1][1] == 0
+    # doc 2 loses exactly the 4 SHARED words
+    assert got[2][1] == 4
+    # doc 3: global-first is doc 1, so BOTH copies here are removed
+    assert got[3][1] == 8
+    assert got[4][1] == 0 and got[5][1] == 0
+
+
+def test_full_duplicate_doc_empties(spark):
+    docs = {1: "a b c d e f", 2: "a b c d e f"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(df, k=K).collect()}
+    assert got[1]["n_removed"] == 0  # canonical survives verbatim
+    assert got[2]["n_removed"] == 6  # overlapping windows cover all words
+    assert got[2]["clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert got[2]["dup_span_pm"] == 1000
+
+
+def test_default_window_and_pure_jvm_plan(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(SPAN_NGRAM + 2)))],
+        "doc_id long, text string",
+    )
+    res = remove_duplicated_spans(df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python UDF anywhere
+    assert res.collect()[0]["n_removed"] == 0
