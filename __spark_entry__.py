@@ -537,6 +537,17 @@ def _q_span_dedup(spark, sf_dir):
     return remove_duplicated_spans(_t(spark, sf_dir, "documents"))
 
 
+def _q_linkgraph_pagerank(spark, sf_dir):
+    """Crawl-frontier prioritization: integer fixed-point PageRank over
+    an arithmetic link graph on the documents table (OPIC/PageRank
+    frontier ordering — the priority tier the reference's BFS scheduler
+    lacks, operators/linkgraph.py). Exact integer updates make the
+    5-iteration power loop bit-identical to the unrolled-CTE oracle."""
+    from crawler_spark.operators.linkgraph import pagerank_over_documents
+
+    return pagerank_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -628,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_classify": _q_corpus_classify,
         "robots_rules": _q_robots_rules,
         "span_dedup": _q_span_dedup,
+        "linkgraph_pagerank": _q_linkgraph_pagerank,
     }
 
 
@@ -746,4 +758,5 @@ GROUP BY source""",
         "corpus_classify": SG.sql_corpus_classify(),
         "robots_rules": SG.sql_robots_rules(),
         "span_dedup": SG.sql_span_dedup(),
+        "linkgraph_pagerank": SG.sql_linkgraph_pagerank(),
     }

@@ -1,0 +1,136 @@
+"""Link-graph PageRank for crawl-frontier prioritization.
+
+The reference crawler schedules breadth-first with per-host politeness
+(SURVEY §2.8/§2.9; src/crawler.py:205-242) — every admitted URL has the
+same priority. Production crawlers order the frontier by link-graph
+importance (PageRank / OPIC: Abiteboul, Preda, Cobena, "Adaptive
+on-line page importance computation", WWW 2003; Page, Brin, Motwani,
+Winograd, "The PageRank citation ranking", 1999 — both public). This
+module adds that tier: a distributed fixed-point PageRank over the
+crawl's link graph whose score becomes the frontier priority column.
+
+Determinism contract (what makes this DuckDB-oracle-able): ranks are
+held as **integer parts-per-billion** of total mass and every update is
+integer arithmetic —
+
+    contrib(e)  = rank(src) div out_deg(src)
+    rank'(v)    = base + (DAMP_NUM * sum(contrib)) div DAMP_DEN
+    base        = ((SCALE div n) * (DEN-NUM)) div DEN
+
+Integer sums are exact and order-independent, so the result is
+bit-identical regardless of partitioning, AQE re-plans, or engine —
+unlike float PageRank, where partial-aggregation order perturbs ULPs.
+Dangling mass (nodes with no out-links) is dropped, not redistributed;
+documented deviation from the 1999 paper, shared by the oracle.
+
+Scale shape (10^10-edge graph):
+- out-degree and the contribution join both shuffle on ``src``; the
+  per-iteration plan is join → partial-agg groupBy(dst) — no windows,
+  no Python. On a real cluster, bucket ``edges`` by ``src`` once
+  (DISTRIBUTE BY) so every iteration's join is co-partitioned and only
+  the rank table (n rows, 2 cols) moves.
+- lineage is truncated per iteration with localCheckpoint (same
+  discipline as operators/components.py — Catalyst re-analysis of a
+  T-deep iterative plan is superlinear); swap for reliable checkpoint
+  on a cluster.
+- driver traffic per iteration: zero (no fixpoint probe — the
+  iteration count is fixed so the oracle can unroll it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ITERATIONS = 5
+PR_SCALE = 1_000_000_000  # total rank mass, parts-per-billion
+PR_DAMP_NUM = 85  # damping d = 0.85 as an exact rational
+PR_DAMP_DEN = 100
+
+# Synthetic link-graph construction (test/bench scaffolding, not engine
+# code): doc u emits 1 + u % 3 out-links, the k-th to
+# (u * MULT + STEP * (k+1)) mod n — a multiplicative-hash scatter so the
+# graph has hubs, chains and cycles but is a closed-form function both
+# engines can derive. Constants are primes small enough that
+# u * MULT stays far from int64 overflow at any test SF.
+LINK_MULT = 1_000_003
+LINK_STEP = 7_919
+LINK_MAX_DEG = 3
+
+
+def synth_link_graph(docs: DataFrame, n_docs: int) -> DataFrame:
+    """(src, dst) edge list derived arithmetically from doc_id
+    (doc_ids are contiguous 0..n-1 in the testdata). Self-loops and
+    duplicate edges removed — out_deg is computed after both."""
+    d = docs.select(F.col("doc_id").cast("long").alias("src"))
+    k = F.explode(F.sequence(F.lit(1), (F.col("src") % LINK_MAX_DEG) + 1)).alias("k")
+    e = d.select("src", k).select(
+        "src",
+        ((F.col("src") * LINK_MULT + F.lit(LINK_STEP) * F.col("k")) % n_docs).alias("dst"),
+    )
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iterations: int = PR_ITERATIONS,
+) -> DataFrame:
+    """(node, out_deg, in_deg, rank_ppb) after ``iterations`` exact
+    integer power-iteration steps. ``nodes`` must carry a ``node``
+    column covering every vertex (isolated vertices included — they end
+    at ``base``)."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # src side of every iteration: (src, out_deg) — static, checkpoint once
+    src_deg = out.localCheckpoint()
+
+    init = PR_SCALE // n_nodes
+    base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    ranks = nodes.select(F.col("node").cast("long").alias("node")).withColumn(
+        "rank_ppb", F.lit(init).cast("long")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(src_deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank_ppb div out_deg").alias("c"))
+        )
+        in_sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.select(F.col("node").cast("long").alias("node"))
+            .join(in_sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}")
+                ).alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
+    in_deg = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        ranks.join(src_deg.withColumnRenamed("src", "node"), "node", "left")
+        .join(in_deg, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            "rank_ppb",
+        )
+    )
+
+
+def pagerank_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: synthesize the arithmetic link graph over the
+    documents table and rank it. One bounded driver scalar (the node
+    count) — same role as the bloom sizing estimate in the frontier."""
+    n = docs.count()
+    edges = synth_link_graph(docs, n)
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    return pagerank(edges, nodes, n)

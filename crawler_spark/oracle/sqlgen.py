@@ -859,3 +859,59 @@ SELECT d.doc_id,
 FROM d
 LEFT JOIN ncov n USING (doc_id)
 LEFT JOIN kept k USING (doc_id)"""
+
+
+def sql_linkgraph_pagerank() -> str:
+    """Integer fixed-point PageRank, iterations unrolled as chained CTEs
+    (the declarative twin of operators/linkgraph.py's power loop). Every
+    value is BIGINT and every update is integer div/sum, so the result
+    is bit-identical to the Spark side regardless of aggregation order;
+    DuckDB's hugeint sum is cast back at the one place it widens."""
+    from crawler_spark.operators.linkgraph import (
+        LINK_MAX_DEG,
+        LINK_MULT,
+        LINK_STEP,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERATIONS,
+        PR_SCALE,
+    )
+
+    base = f"(SELECT (({PR_SCALE} // n) * {PR_DAMP_DEN - PR_DAMP_NUM}) // {PR_DAMP_DEN} FROM nn)"
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT nd.node,
+         {base} + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN} AS rank_ppb
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(r.rank_ppb // od.out_deg) AS BIGINT) AS s
+    FROM e JOIN od USING (src) JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src,
+           (src * {LINK_MULT} + {LINK_STEP} * k) % (SELECT n FROM nn) AS dst
+    FROM (SELECT node AS src,
+                 unnest(range(1, node % {LINK_MAX_DEG} + 2)) AS k
+          FROM nd)
+  ) WHERE src <> dst
+),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+ideg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
+         FROM e GROUP BY dst),
+r0 AS (SELECT node, (SELECT {PR_SCALE} // n FROM nn) AS rank_ppb FROM nd),{",".join(iters)}
+SELECT nd.node AS doc_id,
+       CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(r.rank_ppb AS BIGINT) AS rank_ppb
+FROM nd
+LEFT JOIN od ON od.src = nd.node
+LEFT JOIN ideg i USING (node)
+JOIN r{PR_ITERATIONS} r USING (node)"""

@@ -1,0 +1,90 @@
+"""PageRank frontier-priority operator vs an independent pure-Python twin."""
+
+from __future__ import annotations
+
+from crawler_spark.operators.linkgraph import (
+    LINK_MAX_DEG,
+    LINK_MULT,
+    LINK_STEP,
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITERATIONS,
+    PR_SCALE,
+    pagerank,
+    synth_link_graph,
+)
+
+
+def _py_pagerank(edges, n, iterations):
+    """Row-at-a-time twin of the exact integer power iteration."""
+    out_deg: dict[int, int] = {}
+    for u, _ in edges:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    init = PR_SCALE // n
+    base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    rank = {v: init for v in range(n)}
+    for _ in range(iterations):
+        sums = {v: 0 for v in range(n)}
+        for u, v in edges:
+            sums[v] += rank[u] // out_deg[u]
+        rank = {v: base + (PR_DAMP_NUM * s) // PR_DAMP_DEN for v, s in sums.items()}
+    return rank, out_deg
+
+
+def _py_graph(n):
+    edges = set()
+    for u in range(n):
+        for k in range(1, u % LINK_MAX_DEG + 2):
+            v = (u * LINK_MULT + LINK_STEP * k) % n
+            if v != u:
+                edges.add((u, v))
+    return sorted(edges)
+
+
+def test_pagerank_matches_python_twin(spark):
+    n = 40
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    edges = synth_link_graph(docs, n)
+    got = {
+        r["doc_id"]: (r["out_deg"], r["in_deg"], r["rank_ppb"])
+        for r in pagerank(
+            edges, docs.selectExpr("doc_id AS node"), n, PR_ITERATIONS
+        ).collect()
+    }
+    py_edges = _py_graph(n)
+    assert sorted((r["src"], r["dst"]) for r in edges.collect()) == py_edges
+    rank, out_deg = _py_pagerank(py_edges, n, PR_ITERATIONS)
+    in_deg: dict[int, int] = {}
+    for _, v in py_edges:
+        in_deg[v] = in_deg.get(v, 0) + 1
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v] == (out_deg.get(v, 0), in_deg.get(v, 0), rank[v])
+
+
+def test_pagerank_properties(spark):
+    # hand graph: hub 0 -> {1,2,3}; chain 1->2->3; 4 isolated
+    rows = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    nodes = spark.range(5).selectExpr("id AS node")
+    res = {r["doc_id"]: r for r in pagerank(edges, nodes, 5, 3).collect()}
+    init = PR_SCALE // 5
+    base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    # no in-links (0 and the isolate) -> exactly base after any iteration
+    assert res[0]["rank_ppb"] == base
+    assert res[4]["rank_ppb"] == base
+    assert res[4]["out_deg"] == 0 and res[4]["in_deg"] == 0
+    # 3 receives from both 0 and the chain -> strictly richest
+    assert res[3]["rank_ppb"] == max(r["rank_ppb"] for r in res.values())
+    # mass never exceeds the injected total (dangling mass is dropped)
+    assert sum(r["rank_ppb"] for r in res.values()) <= PR_SCALE
+
+
+def test_pagerank_plan_shape(spark):
+    n = 40
+    docs = spark.range(n).selectExpr("id AS doc_id")
+    res = pagerank(
+        synth_link_graph(docs, n), docs.selectExpr("doc_id AS node"), n, 2
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # pure join + partial-agg iterations
