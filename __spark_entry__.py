@@ -548,6 +548,16 @@ def _q_linkgraph_pagerank(spark, sf_dir):
     return pagerank_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_sequence_pack(spark, sf_dir):
+    """Pretraining concat-and-chunk packing layout: every doc's token
+    offset / example span in EOS-joined fixed-length training sequences
+    (operators/packing.py) — one shuffle on the shard key, integer
+    window arithmetic, no Python."""
+    from crawler_spark.operators.packing import pack_layout
+
+    return pack_layout(_t(spark, sf_dir, "documents"))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -640,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": _q_robots_rules,
         "span_dedup": _q_span_dedup,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
+        "sequence_pack": _q_sequence_pack,
     }
 
 
@@ -759,4 +770,5 @@ GROUP BY source""",
         "robots_rules": SG.sql_robots_rules(),
         "span_dedup": SG.sql_span_dedup(),
         "linkgraph_pagerank": SG.sql_linkgraph_pagerank(),
+        "sequence_pack": SG.sql_sequence_pack(),
     }

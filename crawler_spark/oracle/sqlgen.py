@@ -915,3 +915,33 @@ FROM nd
 LEFT JOIN od ON od.src = nd.node
 LEFT JOIN ideg i USING (node)
 JOIN r{PR_ITERATIONS} r USING (node)"""
+
+
+def sql_sequence_pack() -> str:
+    """Window-sum twin of operators/packing.py's concat-and-chunk layout."""
+    from crawler_spark.operators.packing import PACK_BUDGET, PACK_SHARDS
+
+    b = PACK_BUDGET
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % {PACK_SHARDS} AS BIGINT) AS shard,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS end_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       end_offset - n_tokens AS start_offset,
+       (end_offset - n_tokens) // {b} AS first_chunk,
+       ((end_offset - 1) // {b}) - ((end_offset - n_tokens) // {b}) + 1
+         AS n_chunks,
+       ((end_offset - 1) // {b}) > ((end_offset - n_tokens) // {b})
+         AS straddles
+FROM c"""
