@@ -558,6 +558,16 @@ def _q_sequence_pack(spark, sf_dir):
     return pack_layout(_t(spark, sf_dir, "documents"))
 
 
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Per-source characteristic vocabulary: TF-IDF top-k with a
+    log-free integer idf surrogate (operators/termstats.py) — explode →
+    two partial-agg group-bys → term equi-join → bounded per-source
+    window."""
+    from crawler_spark.operators.termstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -651,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
         "sequence_pack": _q_sequence_pack,
+        "tfidf_top_terms": _q_tfidf_top_terms,
     }
 
 
@@ -771,4 +782,5 @@ GROUP BY source""",
         "span_dedup": SG.sql_span_dedup(),
         "linkgraph_pagerank": SG.sql_linkgraph_pagerank(),
         "sequence_pack": SG.sql_sequence_pack(),
+        "tfidf_top_terms": SG.sql_tfidf_top_terms(),
     }

@@ -1,0 +1,68 @@
+"""Corpus term statistics: TF-IDF top terms per source.
+
+Corpus curation wants per-slice characteristic vocabulary (domain
+labeling, topic balance audits, keyword-based filtering — e.g. the
+C4/mC4 "bad words" pass generalized to learned term weights). This is
+the classic TF-IDF shape: term frequency per slice × inverse document
+frequency over the corpus, top-k per slice.
+
+Determinism contract: the textbook idf = ln(N/df) is a float whose last
+ULP can differ between JVM Math.log and C libm, so the score here is the
+**log-free integer surrogate** idf_ppm = (N * 10^6) div df — the same
+ordering for fixed tf (monotone in N/df), exact in int64, bit-identical
+across engines. Top-k ties break on the term string, a total order.
+
+Scale shape (100 TB corpus):
+- the token explode is the fan-out stage; both aggregates after it
+  (tf per (source, term), df per term) are partial-agg group-bys —
+  map-side combine absorbs the blow-up before any shuffle;
+- tf ⋈ df is an equi-join on term — shuffle-on-key; the vocabulary is
+  Zipfian, but df rows are one per term so no skew salting is needed
+  (the heavy hitters are single rows, not groups);
+- the final top-k is a window partitioned by source — bounded output
+  (k rows per source).
+
+int64 headroom: tf ≤ corpus tokens (~10^13) and idf_ppm ≤ 10^6·N/df;
+their product overflows only when a term is both near-corpus-frequent
+and near-unique — impossible simultaneously (tf ≤ df · max_doc_len).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.textstats import STOPWORDS
+
+TFIDF_TOPK = 5
+IDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """(source, term, tf, df, idf_ppm, score) — the k highest-scoring
+    non-stopword terms per source, score = tf * ((n_docs*10^6) div df)."""
+    n_docs = docs.count()  # one bounded driver scalar (same role as the
+    # bloom sizing estimate); at 10^10 docs keep it as a cached count
+    toks = docs.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).where(~F.col("term").isin(STOPWORDS) & (F.col("term") != ""))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("idf_ppm", F.expr(f"({n_docs}L * {IDF_SCALE}) div df"))
+        .withColumn("score", F.col("tf") * F.col("idf_ppm"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("source", "term", "tf", "df", "idf_ppm", "score")
+    )

@@ -945,3 +945,33 @@ SELECT doc_id, shard, n_tokens,
        ((end_offset - 1) // {b}) > ((end_offset - n_tokens) // {b})
          AS straddles
 FROM c"""
+
+
+def sql_tfidf_top_terms() -> str:
+    """Twin of operators/termstats.py: integer idf surrogate, top-k per
+    source with (score desc, term asc) total-order tie-break."""
+    from crawler_spark.operators.termstats import IDF_SCALE, TFIDF_TOPK
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+toks AS (
+  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+ft AS (SELECT * FROM toks WHERE term NOT IN ({stop}) AND term <> ''),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+       FROM ft GROUP BY source, term),
+dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM ft) GROUP BY term),
+sc AS (
+  SELECT tf.source, tf.term, tf.tf, dfr.df,
+         ((SELECT n FROM nn) * {IDF_SCALE}) // dfr.df AS idf_ppm,
+         tf.tf * (((SELECT n FROM nn) * {IDF_SCALE}) // dfr.df) AS score
+  FROM tf JOIN dfr USING (term)
+)
+SELECT source, term, tf, df, idf_ppm, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, term ASC) AS rn
+  FROM sc
+) WHERE rn <= {TFIDF_TOPK}"""
