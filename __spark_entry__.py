@@ -568,6 +568,20 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _q_recrawl_report(spark, sf_dir):
+    """Incremental-crawl change detection: full-outer url-hash diff of
+    two deterministic synthetic crawl rounds → per-host change-rate
+    revisit signal (operators/snapshotdiff.py)."""
+    from crawler_spark.operators.snapshotdiff import (
+        recrawl_report,
+        snapshot_diff,
+        synth_snapshots,
+    )
+
+    prev, curr = synth_snapshots(_t(spark, sf_dir, "documents"))
+    return recrawl_report(snapshot_diff(prev, curr))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -662,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_pagerank": _q_linkgraph_pagerank,
         "sequence_pack": _q_sequence_pack,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "recrawl_report": _q_recrawl_report,
     }
 
 
@@ -783,4 +798,5 @@ GROUP BY source""",
         "linkgraph_pagerank": SG.sql_linkgraph_pagerank(),
         "sequence_pack": SG.sql_sequence_pack(),
         "tfidf_top_terms": SG.sql_tfidf_top_terms(),
+        "recrawl_report": SG.sql_recrawl_report(),
     }

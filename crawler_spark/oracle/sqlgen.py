@@ -975,3 +975,45 @@ SELECT source, term, tf, df, idf_ppm, score FROM (
                                ORDER BY score DESC, term ASC) AS rn
   FROM sc
 ) WHERE rn <= {TFIDF_TOPK}"""
+
+
+def sql_recrawl_report() -> str:
+    """Twin of operators/snapshotdiff.py over the same closed-form
+    synthetic snapshot pair."""
+    from crawler_spark.operators.snapshotdiff import CHANGE_SCALE
+
+    return f"""
+WITH base AS (
+  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.com' AS host,
+         doc_id, text
+  FROM documents
+),
+prev AS (SELECT url, host, md5(text) AS h FROM base WHERE doc_id % 10 <> 3),
+curr AS (SELECT url, host,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h
+         FROM base WHERE doc_id % 10 <> 7),
+d AS (
+  SELECT coalesce(p.url, c.url) AS url,
+         coalesce(p.host, c.host) AS host,
+         CASE WHEN p.h IS NULL THEN 'added'
+              WHEN c.h IS NULL THEN 'gone'
+              WHEN p.h <> c.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+),
+agg AS (
+  SELECT host,
+         CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+         CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+  FROM d GROUP BY host
+)
+SELECT host, n_added, n_gone, n_changed, n_unchanged,
+       CASE WHEN n_changed + n_unchanged > 0
+            THEN (n_changed * {CHANGE_SCALE}) // (n_changed + n_unchanged)
+            ELSE 0 END AS change_ppm
+FROM agg"""
