@@ -582,6 +582,16 @@ def _q_recrawl_report(spark, sf_dir):
     return recrawl_report(snapshot_diff(prev, curr))
 
 
+def _q_sessionize(spark, sf_dir):
+    """Gap-based fetch-session reconstruction over the event log
+    (operators/sessionize.py): batch twin of the streaming session
+    window — one shuffle, shared sort for both windows, integer
+    epoch-microsecond arithmetic."""
+    from crawler_spark.operators.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -677,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "recrawl_report": _q_recrawl_report,
+        "fetch_sessions": _q_sessionize,
     }
 
 
@@ -799,4 +810,5 @@ GROUP BY source""",
         "sequence_pack": SG.sql_sequence_pack(),
         "tfidf_top_terms": SG.sql_tfidf_top_terms(),
         "recrawl_report": SG.sql_recrawl_report(),
+        "fetch_sessions": SG.sql_sessionize(),
     }

@@ -1017,3 +1017,33 @@ SELECT host, n_added, n_gone, n_changed, n_unchanged,
             THEN (n_changed * {CHANGE_SCALE}) // (n_changed + n_unchanged)
             ELSE 0 END AS change_ppm
 FROM agg"""
+
+
+def sql_sessionize() -> str:
+    """lag + running-sum twin of operators/sessionize.py over events."""
+    from crawler_spark.operators.sessionize import SESSION_GAP_US
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT *,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us
+FROM s GROUP BY user_id, session_idx"""
