@@ -592,6 +592,16 @@ def _q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+def _q_lm_familiarity(spark, sf_dir):
+    """CCNet-shaped two-pass quality bucketing: corpus-trained bigram
+    familiarity → head/middle/tail at frozen thresholds
+    (operators/lmscore.py) — integer-exact stand-in for KenLM
+    perplexity, same pipeline shape."""
+    from crawler_spark.operators.lmscore import lm_familiarity
+
+    return lm_familiarity(_t(spark, sf_dir, "documents"))
+
+
 def _q_robots_rules(spark, sf_dir):
     """robots.txt parsing (functions/robots_parse.py): bodies are a
     closed-form function of g = doc_id % 50 covering three shapes — a
@@ -688,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "recrawl_report": _q_recrawl_report,
         "fetch_sessions": _q_sessionize,
+        "lm_familiarity": _q_lm_familiarity,
     }
 
 
@@ -811,4 +822,5 @@ GROUP BY source""",
         "tfidf_top_terms": SG.sql_tfidf_top_terms(),
         "recrawl_report": SG.sql_recrawl_report(),
         "fetch_sessions": SG.sql_sessionize(),
+        "lm_familiarity": SG.sql_lm_familiarity(),
     }

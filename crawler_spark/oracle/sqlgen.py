@@ -1047,3 +1047,35 @@ SELECT user_id, session_idx,
        min(us) AS start_us, max(us) AS end_us,
        max(us) - min(us) AS duration_us
 FROM s GROUP BY user_id, session_idx"""
+
+
+def sql_lm_familiarity() -> str:
+    """Twin of operators/lmscore.py: two-pass corpus bigram familiarity."""
+    from crawler_spark.operators.lmscore import (
+        LM_COUNT_CAP,
+        LM_HEAD_MIN,
+        LM_TAIL_MAX,
+    )
+
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM d WHERE len(w) >= 2
+),
+model AS (
+  SELECT bg, least(CAST(count(*) AS BIGINT), {LM_COUNT_CAP}) AS c
+  FROM bg GROUP BY bg
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(c) AS BIGINT) AS raw
+  FROM bg JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, raw // n_bigrams AS familiarity,
+       CASE WHEN raw // n_bigrams >= {LM_HEAD_MIN} THEN 'head'
+            WHEN raw // n_bigrams <= {LM_TAIL_MAX} THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM per_doc"""
