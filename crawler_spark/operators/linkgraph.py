@@ -91,9 +91,11 @@ def pagerank(
 
     init = PR_SCALE // n_nodes
     base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
-    ranks = nodes.select(F.col("node").cast("long").alias("node")).withColumn(
-        "rank_ppb", F.lit(init).cast("long")
-    )
+    # one checkpointed node list reused by every iteration — re-embedding
+    # an uncheckpointed nodes plan T times would regrow the lineage the
+    # loop exists to truncate
+    nodes_l = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+    ranks = nodes_l.withColumn("rank_ppb", F.lit(init).cast("long"))
     for _ in range(iterations):
         contribs = (
             e.join(src_deg, "src")
@@ -102,8 +104,7 @@ def pagerank(
         )
         in_sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = (
-            nodes.select(F.col("node").cast("long").alias("node"))
-            .join(in_sums.withColumnRenamed("dst", "node"), "node", "left")
+            nodes_l.join(in_sums.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
                 (
@@ -131,6 +132,13 @@ def pagerank_over_documents(docs: DataFrame) -> DataFrame:
     documents table and rank it. One bounded driver scalar (the node
     count) — same role as the bloom sizing estimate in the frontier."""
     n = docs.count()
-    edges = synth_link_graph(docs, n)
     nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:  # empty slice: empty result, not a division-by-zero
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.lit(0).cast("long").alias("in_deg"),
+            F.lit(0).cast("long").alias("rank_ppb"),
+        )
+    edges = synth_link_graph(docs, n)
     return pagerank(edges, nodes, n)

@@ -46,9 +46,7 @@ def sessionize(
             F.col("_us") - F.lag("_us").over(w) > gap_us, F.lit(1)
         ).otherwise(F.lit(0)),
     )
-    run = Window.partitionBy(key).orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e = e.withColumn("session_idx", F.sum("_new").over(run).cast("long"))
     return e.groupBy(key, "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),

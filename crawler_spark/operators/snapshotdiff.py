@@ -34,13 +34,16 @@ def snapshot_diff(prev: DataFrame, curr: DataFrame) -> DataFrame:
         F.col("content_md5").alias("_h_curr"),
     )
     j = a.join(b, a.url == b._u_b, "full_outer")
+    # presence is decided by the JOIN KEYS, not hash nullness — a stored
+    # NULL hash (failed fetch) must not reclassify the row; changed vs
+    # unchanged uses null-safe equality so NULL hashes compare as values
     return j.select(
         F.coalesce("url", "_u_b").alias("url"),
         F.coalesce("host", "_host_b").alias("host"),
-        F.when(F.col("_h_prev").isNull(), "added")
-        .when(F.col("_h_curr").isNull(), "gone")
-        .when(F.col("_h_prev") != F.col("_h_curr"), "changed")
-        .otherwise("unchanged")
+        F.when(F.col("url").isNull(), "added")
+        .when(F.col("_u_b").isNull(), "gone")
+        .when(F.expr("_h_prev <=> _h_curr"), "unchanged")
+        .otherwise("changed")
         .alias("status"),
     )
 

@@ -22,9 +22,12 @@ Scale shape (100 TB corpus):
 - the final top-k is a window partitioned by source — bounded output
   (k rows per source).
 
-int64 headroom: tf ≤ corpus tokens (~10^13) and idf_ppm ≤ 10^6·N/df;
-their product overflows only when a term is both near-corpus-frequent
-and near-unique — impossible simultaneously (tf ≤ df · max_doc_len).
+Overflow: tf and idf_ppm are each int64-exact, but their PRODUCT can
+exceed int64 at 10^10-doc scale (df=1, tf=10^3 ⇒ 10^19), so ``score``
+is a double — one IEEE multiply of two integer-exact operands, the
+same rounding in both engines, bit-identical; ordering degrades only
+in the >2^53 regime where adjacent scores differ by <1 ulp, and the
+top-k tie-break on the term string stays a total order.
 """
 
 from __future__ import annotations
@@ -40,7 +43,8 @@ IDF_SCALE = 1_000_000
 
 def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     """(source, term, tf, df, idf_ppm, score) — the k highest-scoring
-    non-stopword terms per source, score = tf * ((n_docs*10^6) div df)."""
+    non-stopword terms per source, score = tf * ((n_docs*10^6) div df)
+    as a double (see module docstring on overflow)."""
     n_docs = docs.count()  # one bounded driver scalar (same role as the
     # bloom sizing estimate); at 10^10 docs keep it as a cached count
     toks = docs.select(
@@ -58,7 +62,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     scored = (
         tf.join(df_, "term")
         .withColumn("idf_ppm", F.expr(f"({n_docs}L * {IDF_SCALE}) div df"))
-        .withColumn("score", F.col("tf") * F.col("idf_ppm"))
+        .withColumn("score", F.col("tf").cast("double") * F.col("idf_ppm").cast("double"))
     )
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
     return (

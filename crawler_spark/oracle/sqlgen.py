@@ -967,7 +967,9 @@ dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
 sc AS (
   SELECT tf.source, tf.term, tf.tf, dfr.df,
          ((SELECT n FROM nn) * {IDF_SCALE}) // dfr.df AS idf_ppm,
-         tf.tf * (((SELECT n FROM nn) * {IDF_SCALE}) // dfr.df) AS score
+         CAST(tf.tf AS DOUBLE)
+           * CAST(((SELECT n FROM nn) * {IDF_SCALE}) // dfr.df AS DOUBLE)
+           AS score
   FROM tf JOIN dfr USING (term)
 )
 SELECT source, term, tf, df, idf_ppm, score FROM (
@@ -998,10 +1000,10 @@ curr AS (SELECT url, host,
 d AS (
   SELECT coalesce(p.url, c.url) AS url,
          coalesce(p.host, c.host) AS host,
-         CASE WHEN p.h IS NULL THEN 'added'
-              WHEN c.h IS NULL THEN 'gone'
-              WHEN p.h <> c.h THEN 'changed'
-              ELSE 'unchanged' END AS status
+         CASE WHEN p.url IS NULL THEN 'added'
+              WHEN c.url IS NULL THEN 'gone'
+              WHEN p.h IS NOT DISTINCT FROM c.h THEN 'unchanged'
+              ELSE 'changed' END AS status
   FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
 ),
 agg AS (

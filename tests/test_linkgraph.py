@@ -80,6 +80,17 @@ def test_pagerank_properties(spark):
     assert sum(r["rank_ppb"] for r in res.values()) <= PR_SCALE
 
 
+def test_pagerank_empty_corpus(spark):
+    from crawler_spark.operators.linkgraph import pagerank_over_documents
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    res = pagerank_over_documents(docs)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == [
+        "doc_id", "out_deg", "in_deg", "rank_ppb",
+    ]
+
+
 def test_pagerank_plan_shape(spark):
     n = 40
     docs = spark.range(n).selectExpr("id AS doc_id")

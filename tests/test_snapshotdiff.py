@@ -30,6 +30,25 @@ def test_diff_statuses(spark):
     assert rep["h2"]["change_ppm"] == 0
 
 
+def test_diff_null_hashes_classified_by_presence(spark):
+    # presence comes from the join keys; NULL hashes are values
+    prev = spark.createDataFrame(
+        [("u1", "h1", None), ("u2", "h1", None), ("u3", "h1", "aa")],
+        "url string, host string, content_md5 string",
+    )
+    curr = spark.createDataFrame(
+        [("u2", "h1", None), ("u3", "h1", None), ("u4", "h1", "bb")],
+        "url string, host string, content_md5 string",
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(prev, curr).collect()}
+    assert got == {
+        "u1": "gone",  # NULL prev hash is still "present in prev"
+        "u2": "unchanged",  # NULL <=> NULL
+        "u3": "changed",  # value -> NULL
+        "u4": "added",
+    }
+
+
 def test_synth_snapshots_cover_all_statuses(spark):
     docs = spark.createDataFrame(
         [(i, "s%d" % (i % 3), "text %d words here" % i) for i in range(40)],

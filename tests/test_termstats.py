@@ -21,7 +21,9 @@ def _py_tfidf_topk(rows, k):
     scored = {}
     for (source, term), f in tf.items():
         idf = (n_docs * IDF_SCALE) // len(df_docs[term])
-        scored.setdefault(source, []).append((term, f, len(df_docs[term]), idf, f * idf))
+        scored.setdefault(source, []).append(
+            (term, f, len(df_docs[term]), idf, float(f) * float(idf))
+        )
     out = set()
     for source, terms in scored.items():
         terms.sort(key=lambda t: (-t[4], t[0]))
