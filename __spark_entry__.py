@@ -643,6 +643,36 @@ def _q_robots_rules(spark, sf_dir):
     )
 
 
+CDX_CLOSEST_TS = "20260101013000"
+
+
+def _q_snapshot_asof(spark, sf_dir):
+    """Point-in-time replay over a multi-capture store
+    (operators/asof.py): union-merge as-of join — one shuffle on url,
+    per-key time sort shared with the running last(ignorenulls); DuckDB's
+    native ASOF JOIN is the oracle."""
+    from crawler_spark.operators.asof import asof_join, synth_captures, synth_probes
+
+    docs = _t(spark, sf_dir, "documents")
+    return asof_join(synth_probes(docs), synth_captures(docs))
+
+
+def _q_cdx_closest(spark, sf_dir):
+    """CDX ``closest``-timestamp selection (operators/asof.py): per-urlkey
+    min_by with a struct ordering key — map-side combine, one shuffle,
+    no window; ties go to the earlier capture."""
+    from crawler_spark.functions.url import canonicalize_udf
+    from crawler_spark.operators.asof import cdx_closest, synth_captures
+
+    cdx = synth_captures(_t(spark, sf_dir, "documents")).select(
+        canonicalize_udf(F.col("url"))["surt"].alias("urlkey"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts"),
+        "url",
+        "digest",
+    )
+    return cdx_closest(cdx, CDX_CLOSEST_TS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -699,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_report": _q_recrawl_report,
         "fetch_sessions": _q_sessionize,
         "lm_familiarity": _q_lm_familiarity,
+        "snapshot_asof": _q_snapshot_asof,
+        "cdx_closest": _q_cdx_closest,
     }
 
 
@@ -823,4 +855,6 @@ GROUP BY source""",
         "recrawl_report": SG.sql_recrawl_report(),
         "fetch_sessions": SG.sql_sessionize(),
         "lm_familiarity": SG.sql_lm_familiarity(),
+        "snapshot_asof": SG.sql_snapshot_asof(),
+        "cdx_closest": SG.sql_cdx_closest(CDX_CLOSEST_TS),
     }

@@ -1081,3 +1081,59 @@ SELECT doc_id, n_bigrams, raw // n_bigrams AS familiarity,
             WHEN raw // n_bigrams <= {LM_TAIL_MAX} THEN 'tail'
             ELSE 'middle' END AS bucket
 FROM per_doc"""
+
+
+_CAPTURE_BASE = """
+base AS (
+  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.com' AS host, doc_id, text
+  FROM documents
+),
+caps AS (
+  SELECT url, host, doc_id,
+         TIMESTAMP '{epoch}' + to_seconds(doc_id + k * {gap}) AS ts,
+         md5(text || CAST(k AS VARCHAR)) AS digest
+  FROM base, unnest([0, 1, 2]) AS t(k)
+)"""
+
+
+def _capture_base() -> str:
+    from crawler_spark.operators.asof import CAPTURE_EPOCH, CAPTURE_GAP_S
+
+    return _CAPTURE_BASE.format(epoch=CAPTURE_EPOCH, gap=CAPTURE_GAP_S)
+
+
+def sql_snapshot_asof() -> str:
+    """Twin of operators/asof.asof_join over the same closed-form
+    multi-capture store — DuckDB's native ASOF JOIN is the oracle."""
+    return f"""
+WITH {_capture_base()},
+probes AS (
+  SELECT url,
+         TIMESTAMP '2026-01-01' + to_seconds(
+           doc_id + CASE doc_id % 4 WHEN 0 THEN -1 WHEN 1 THEN 1800
+                                    WHEN 2 THEN 5400 ELSE 9000 END) AS t
+  FROM base
+)
+SELECT p.url, p.t, c.ts, c.digest
+FROM probes p ASOF LEFT JOIN caps c ON p.url = c.url AND p.t >= c.ts"""
+
+
+def sql_cdx_closest(target_ts: str) -> str:
+    """Twin of operators/asof.cdx_closest: per-urlkey capture closest to
+    target_ts, ties to the earlier capture."""
+    return f"""
+WITH {_capture_base()},
+cdx AS (
+  SELECT 'com,example,' || replace(host, '.example.com', '')
+           || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+         strftime(ts, '%Y%m%d%H%M%S') AS ts, url, digest
+  FROM caps
+)
+SELECT urlkey, ts, url, digest FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY urlkey
+    ORDER BY abs(CAST(ts AS BIGINT) - {int(target_ts)}), ts, url) AS rn
+  FROM cdx
+) WHERE rn = 1"""
