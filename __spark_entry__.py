@@ -673,6 +673,42 @@ def _q_cdx_closest(spark, sf_dir):
     return cdx_closest(cdx, CDX_CLOSEST_TS)
 
 
+def _q_crawl_rollup(spark, sf_dir):
+    """Fleet crawl dashboard in ONE pass (operators/crawlreport.py):
+    ROLLUP(host, status) plans as a single Expand → partial-agg group-by
+    — every granularity (host×status, host, grand total) without a
+    self-union or rescan; GROUPING-derived level disambiguates subtotal
+    rows."""
+    from crawler_spark.operators.crawlreport import crawl_rollup, synth_page_stats
+
+    return crawl_rollup(synth_page_stats(_t(spark, sf_dir, "documents")))
+
+
+def _q_latency_quantiles(spark, sf_dir):
+    """Tail-latency SLO report (operators/crawlreport.py): exact
+    linear-interpolation percentiles per event type — bit-identical to
+    DuckDB quantile_cont; swap to percentile_approx past ~10^8 rows per
+    group with the same schema."""
+    from crawler_spark.operators.crawlreport import latency_quantiles
+
+    return latency_quantiles(_t(spark, sf_dir, "events"))
+
+
+def _q_recrawl_schedule(spark, sf_dir):
+    """Change detection closed into the next round's work list
+    (operators/snapshotdiff.py): per-host change rate broadcast back
+    onto the diff, integer priority, per-host top-budget window —
+    bounded output like the politeness budget."""
+    from crawler_spark.operators.snapshotdiff import (
+        recrawl_schedule,
+        snapshot_diff,
+        synth_snapshots,
+    )
+
+    prev, curr = synth_snapshots(_t(spark, sf_dir, "documents"))
+    return recrawl_schedule(snapshot_diff(prev, curr))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -731,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_familiarity": _q_lm_familiarity,
         "snapshot_asof": _q_snapshot_asof,
         "cdx_closest": _q_cdx_closest,
+        "crawl_rollup": _q_crawl_rollup,
+        "latency_quantiles": _q_latency_quantiles,
+        "recrawl_schedule": _q_recrawl_schedule,
     }
 
 
@@ -857,4 +896,7 @@ GROUP BY source""",
         "lm_familiarity": SG.sql_lm_familiarity(),
         "snapshot_asof": SG.sql_snapshot_asof(),
         "cdx_closest": SG.sql_cdx_closest(CDX_CLOSEST_TS),
+        "crawl_rollup": SG.sql_crawl_rollup(),
+        "latency_quantiles": SG.sql_latency_quantiles(),
+        "recrawl_schedule": SG.sql_recrawl_schedule(),
     }

@@ -1,0 +1,89 @@
+"""Crawl-operations reporting: grouping-sets rollup and exact-quantile
+latency SLOs.
+
+The reference prints flat per-run counters (pages fetched, failures by
+reason — src/crawler.py stats dict, SURVEY §2.5); a fleet-level crawl
+dashboard needs the same numbers at every granularity at once
+(host × status, per host, grand total) and distribution tails, not
+means (a politeness stall shows up at p99 long before it moves the
+average).
+
+Scale shape:
+- ``crawl_rollup`` is ONE pass: Spark plans ROLLUP as an Expand node
+  (each input row replicated once per grouping set) feeding a single
+  partial-aggregate group-by — map-side combine on every set, one
+  shuffle. No self-union of three separate aggregates, no rescan.
+- ``latency_quantiles`` uses the exact ``percentile`` aggregate —
+  partial state is a per-partition value buffer, merged once. Exact
+  quantiles hold to ~10^8 rows per group; past that switch the same
+  query to ``percentile_approx`` (t-digest, bounded state) — the
+  report schema is identical, which is why the column names carry no
+  algorithm suffix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def crawl_rollup(pages: DataFrame) -> DataFrame:
+    """(host, status, level, n_pages, total_bytes) for every ROLLUP
+    grouping set of (host, status); subtotal rows are labelled 'ALL'
+    and ``level`` = grouping(host)*2 + grouping(status) disambiguates
+    a genuine NULL group value from a subtotal row.
+
+    Input: (host, status int, n_bytes long).
+    """
+    return (
+        pages.rollup("host", "status")
+        .agg(
+            (F.grouping("host") * 2 + F.grouping("status"))
+            .cast("long")
+            .alias("level"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .select(
+            F.coalesce(F.col("host"), F.lit("ALL")).alias("host"),
+            F.coalesce(F.col("status").cast("string"), F.lit("ALL")).alias(
+                "status"
+            ),
+            "level",
+            "n_pages",
+            "total_bytes",
+        )
+    )
+
+
+def latency_quantiles(events: DataFrame) -> DataFrame:
+    """(event_type, n, p50, p90, p99) — exact linear-interpolation
+    quantiles of ``value`` per event type (same interpolation rule as
+    DuckDB quantile_cont, bit-identical)."""
+    qs = ", ".join(f"{q}D" for q in QUANTILES)
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(value, array({qs}))").alias("_q"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        *[F.col("_q")[i].alias(f"p{int(q * 100)}") for i, q in enumerate(QUANTILES)],
+    )
+
+
+def synth_page_stats(docs: DataFrame) -> DataFrame:
+    """(host, status, n_bytes) from documents — deterministic status mix
+    (doc_id % 20: 0→404, 1→500, 2→301, else 200), bytes = n_chars."""
+    m = F.col("doc_id") % 20
+    return docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.when(m == 0, 404)
+        .when(m == 1, 500)
+        .when(m == 2, 301)
+        .otherwise(200)
+        .alias("status"),
+        F.col("n_chars").alias("n_bytes"),
+    )

@@ -18,7 +18,7 @@ equality uses the stored md5, never the bodies — the diff moves
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 CHANGE_SCALE = 1_000_000  # change rate in parts-per-million
@@ -69,6 +69,49 @@ def recrawl_report(diff: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("change_ppm"),
+    )
+
+
+RECRAWL_BUDGET = 25  # URLs dispatched per host per round
+
+# status → urgency weight: a changed URL is recrawled first, a newly
+# discovered one next, a stable one last; gone URLs leave the schedule
+_STATUS_WEIGHT = {"changed": 3, "added": 2, "unchanged": 1}
+
+
+def recrawl_schedule(diff: DataFrame, budget: int = RECRAWL_BUDGET) -> DataFrame:
+    """The next round's work list: per-host top-``budget`` URLs ranked by
+    an integer priority combining the URL's own status urgency with its
+    host's measured change rate (Cho/Garcia-Molina revisit policy: hot
+    hosts drain their budget on changed URLs; cold hosts still refresh).
+
+    priority = status_weight * CHANGE_SCALE + host change_ppm — both
+    integer-exact, so the oracle reproduces it closed-form.
+
+    Scale shape: the per-host rate table is hosts-sized (≪ URLs) →
+    broadcast equi-join, no shuffle of the URL side for the join; the
+    top-``budget`` cut is one window partitioned by host — bounded
+    output (budget rows per host), same shape as the politeness budget
+    operator, and at 10^10 URLs the same skew treatment applies (the
+    window sorts only within each host's partition slice).
+    """
+    rates = recrawl_report(diff).select("host", "change_ppm")
+    w = F.create_map(
+        *[x for kv in _STATUS_WEIGHT.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )[F.col("status")].cast("long")
+    scored = (
+        diff.where(F.col("status") != "gone")
+        .join(F.broadcast(rates), "host")
+        .select(
+            "host",
+            "url",
+            (w * CHANGE_SCALE + F.col("change_ppm")).alias("priority"),
+        )
+    )
+    win = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .where(F.col("rk") <= budget)
     )
 
 

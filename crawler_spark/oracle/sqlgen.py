@@ -1137,3 +1137,95 @@ SELECT urlkey, ts, url, digest FROM (
     ORDER BY abs(CAST(ts AS BIGINT) - {int(target_ts)}), ts, url) AS rn
   FROM cdx
 ) WHERE rn = 1"""
+
+
+_PAGE_STATS = """
+pstats AS (
+  SELECT source || '.example.com' AS host,
+         CASE doc_id % 20 WHEN 0 THEN 404 WHEN 1 THEN 500 WHEN 2 THEN 301
+              ELSE 200 END AS status,
+         n_chars AS n_bytes
+  FROM documents
+)"""
+
+
+def sql_crawl_rollup() -> str:
+    """Twin of operators/crawlreport.crawl_rollup: ROLLUP(host, status)
+    with GROUPING-disambiguated 'ALL' labels."""
+    return f"""
+WITH {_PAGE_STATS}
+SELECT coalesce(host, 'ALL') AS host,
+       coalesce(CAST(status AS VARCHAR), 'ALL') AS status,
+       CAST(GROUPING(host) * 2 + GROUPING(status) AS BIGINT) AS level,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+FROM pstats GROUP BY ROLLUP(host, status)"""
+
+
+def sql_latency_quantiles() -> str:
+    """Twin of operators/crawlreport.latency_quantiles: quantile_cont and
+    Spark's exact percentile share the linear-interpolation rule."""
+    from crawler_spark.operators.crawlreport import QUANTILES
+
+    cols = ",\n       ".join(
+        f"quantile_cont(value, {q}) AS p{int(q * 100)}" for q in QUANTILES
+    )
+    return f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       {cols}
+FROM events GROUP BY event_type"""
+
+
+def sql_recrawl_schedule() -> str:
+    """Twin of operators/snapshotdiff.recrawl_schedule over the same
+    closed-form snapshot pair as sql_recrawl_report."""
+    from crawler_spark.operators.snapshotdiff import (
+        CHANGE_SCALE,
+        RECRAWL_BUDGET,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.com' AS host, doc_id, text
+  FROM documents
+),
+prev AS (SELECT url, host, md5(text) AS h FROM base WHERE doc_id % 10 <> 3),
+curr AS (SELECT url, host,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                         ELSE text END) AS h
+         FROM base WHERE doc_id % 10 <> 7),
+d AS (
+  SELECT coalesce(p.url, c.url) AS url,
+         coalesce(p.host, c.host) AS host,
+         CASE WHEN p.url IS NULL THEN 'added'
+              WHEN c.url IS NULL THEN 'gone'
+              WHEN p.h IS NOT DISTINCT FROM c.h THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
+),
+rates AS (
+  SELECT host,
+         CASE WHEN sum(CASE WHEN status IN ('changed','unchanged') THEN 1
+                            ELSE 0 END) > 0
+              THEN (sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                      * {CHANGE_SCALE})
+                   // sum(CASE WHEN status IN ('changed','unchanged') THEN 1
+                               ELSE 0 END)
+              ELSE 0 END AS change_ppm
+  FROM d GROUP BY host
+),
+scored AS (
+  SELECT d.host, d.url,
+         CAST(CASE d.status WHEN 'changed' THEN 3 WHEN 'added' THEN 2
+              ELSE 1 END * {CHANGE_SCALE} + r.change_ppm AS BIGINT)
+           AS priority
+  FROM d JOIN rates r ON d.host = r.host
+  WHERE d.status <> 'gone'
+)
+SELECT host, url, priority, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY host ORDER BY priority DESC, url ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {RECRAWL_BUDGET}"""
