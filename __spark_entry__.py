@@ -709,6 +709,21 @@ def _q_recrawl_schedule(spark, sf_dir):
     return recrawl_schedule(snapshot_diff(prev, curr))
 
 
+def _q_interval_match(spark, sf_dir):
+    """Containment (range) join without a nested loop
+    (operators/intervaljoin.py): overlapping campaign windows exploded
+    into 15-min bins → plain equi-join on the bin + exact predicate;
+    the naive BETWEEN formulation would plan as BroadcastNestedLoopJoin."""
+    from crawler_spark.operators.intervaljoin import (
+        interval_join,
+        synth_campaigns,
+        synth_fetches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return interval_join(synth_fetches(docs), synth_campaigns(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -770,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_rollup": _q_crawl_rollup,
         "latency_quantiles": _q_latency_quantiles,
         "recrawl_schedule": _q_recrawl_schedule,
+        "interval_match": _q_interval_match,
     }
 
 
@@ -899,4 +915,5 @@ GROUP BY source""",
         "crawl_rollup": SG.sql_crawl_rollup(),
         "latency_quantiles": SG.sql_latency_quantiles(),
         "recrawl_schedule": SG.sql_recrawl_schedule(),
+        "interval_match": SG.sql_interval_match(),
     }

@@ -1229,3 +1229,24 @@ SELECT host, url, priority, rk FROM (
     PARTITION BY host ORDER BY priority DESC, url ASC) AS BIGINT) AS rk
   FROM scored
 ) WHERE rk <= {RECRAWL_BUDGET}"""
+
+
+def sql_interval_match() -> str:
+    """Twin of operators/intervaljoin.interval_join over the synthetic
+    campaign windows — the oracle can afford the naive BETWEEN join."""
+    return """
+WITH fetches AS (
+  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         TIMESTAMP '2026-01-01' + to_seconds(doc_id * 7) AS ts
+  FROM documents
+),
+camps AS (
+  SELECT 'camp' || CAST(g AS VARCHAR) AS campaign_id,
+         TIMESTAMP '2026-01-01' + to_seconds(g * 600) AS start,
+         TIMESTAMP '2026-01-01' + to_seconds(g * 600 + (g % 7 + 1) * 900)
+           AS "end"
+  FROM (SELECT DISTINCT doc_id % 25 AS g FROM documents)
+)
+SELECT f.url, f.ts, c.campaign_id, c.start, c."end"
+FROM fetches f JOIN camps c ON f.ts >= c.start AND f.ts < c."end" """
