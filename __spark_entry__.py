@@ -724,6 +724,35 @@ def _q_interval_match(spark, sf_dir):
     return interval_join(synth_fetches(docs), synth_campaigns(docs))
 
 
+def _q_url_filter(spark, sf_dir):
+    """Pre-fetch corpus curation (operators/urlfilter.py): UT1-style
+    domain blocklist as a broadcast LEFT join + path-pattern regex in
+    one JVM pass — moves (url, host) rows only, never bodies."""
+    from crawler_spark.operators.urlfilter import (
+        synth_blocklist,
+        url_category_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat("source", F.lit(".example.com")).alias("host"),
+    )
+    return url_category_filter(pages, synth_blocklist(docs))
+
+
+def _q_host_reputation(spark, sf_dir):
+    """Domain-level reputation (operators/urlfilter.py): one partial-agg
+    group-by on host, integer ppm signals, allow/review/block verdict —
+    the signal the recrawl scheduler and blocklist feed from."""
+    from crawler_spark.operators.urlfilter import docs_with_host, host_reputation
+
+    return host_reputation(docs_with_host(_t(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -786,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_quantiles": _q_latency_quantiles,
         "recrawl_schedule": _q_recrawl_schedule,
         "interval_match": _q_interval_match,
+        "url_filter": _q_url_filter,
+        "host_reputation": _q_host_reputation,
     }
 
 
@@ -916,4 +947,6 @@ GROUP BY source""",
         "latency_quantiles": SG.sql_latency_quantiles(),
         "recrawl_schedule": SG.sql_recrawl_schedule(),
         "interval_match": SG.sql_interval_match(),
+        "url_filter": SG.sql_url_filter(),
+        "host_reputation": SG.sql_host_reputation(),
     }

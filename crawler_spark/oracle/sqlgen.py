@@ -1250,3 +1250,63 @@ camps AS (
 )
 SELECT f.url, f.ts, c.campaign_id, c.start, c."end"
 FROM fetches f JOIN camps c ON f.ts >= c.start AND f.ts < c."end" """
+
+
+def sql_url_filter() -> str:
+    """Twin of operators/urlfilter.url_category_filter over the docpages
+    URL set and the closed-form every-10th-source blocklist."""
+    from crawler_spark.operators.urlfilter import BLOCK_PATH_PATTERN
+
+    return f"""
+WITH pages AS (
+  SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.com' AS host,
+         source
+  FROM documents
+),
+bl AS (
+  SELECT DISTINCT source || '.example.com' AS bh FROM documents
+  WHERE CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 10 = 7
+)
+SELECT url, host,
+       reason = 'ok' AS keep, reason
+FROM (
+  SELECT p.url, p.host,
+         CASE WHEN b.bh IS NOT NULL THEN 'domain_blocklist'
+              WHEN regexp_matches(p.url, '{BLOCK_PATH_PATTERN}')
+                THEN 'path_pattern'
+              ELSE 'ok' END AS reason
+  FROM pages p LEFT JOIN bl b ON p.host = b.bh
+)"""
+
+
+def sql_host_reputation() -> str:
+    """Twin of operators/urlfilter.host_reputation."""
+    from crawler_spark.operators.urlfilter import (
+        PPM,
+        REP_NONEN_REVIEW_PPM,
+        REP_SHORT_CHARS,
+        REP_SHORT_MAX_PPM,
+    )
+
+    return f"""
+WITH d AS (
+  SELECT source || '.example.com' AS host, lang, n_chars FROM documents
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_chars < {REP_SHORT_CHARS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS s,
+         CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+         CAST(sum(n_chars) AS BIGINT) AS ch
+  FROM d GROUP BY host
+)
+SELECT host, n_docs,
+       (s * {PPM}) // n_docs AS short_ppm,
+       (ne * {PPM}) // n_docs AS nonen_ppm,
+       ch // n_docs AS avg_chars,
+       CASE WHEN (s * {PPM}) // n_docs > {REP_SHORT_MAX_PPM} THEN 'block'
+            WHEN (ne * {PPM}) // n_docs > {REP_NONEN_REVIEW_PPM} THEN 'review'
+            ELSE 'allow' END AS verdict
+FROM agg"""
