@@ -753,6 +753,29 @@ def _q_host_reputation(spark, sf_dir):
     return host_reputation(docs_with_host(_t(spark, sf_dir, "documents")))
 
 
+def _q_incremental_neardups(spark, sf_dir):
+    """Continuous-crawl near-dup admission (operators/textdedup.py): a
+    synthetic new batch (tailed near-dup twins + rewrite decoys) probed
+    against the full corpus's LSH band index — per-batch cost is the new
+    batch's bands plus a bucket equi-join; the corpus is never
+    rescanned."""
+    from crawler_spark.operators.textdedup import lsh_band_table, lsh_match_new
+    from crawler_spark.oracle.sqlgen import NEW_DOC_OFFSET
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(NEW_DOC_OFFSET)).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" extra tail"))
+        )
+        .otherwise(
+            F.concat(F.lit("zz "), F.col("doc_id").cast("string"), F.lit(" qq"))
+        )
+        .alias("text"),
+    )
+    return lsh_match_new(lsh_band_table(new), lsh_band_table(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -817,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_match": _q_interval_match,
         "url_filter": _q_url_filter,
         "host_reputation": _q_host_reputation,
+        "incremental_neardups": _q_incremental_neardups,
     }
 
 
@@ -949,4 +973,5 @@ GROUP BY source""",
         "interval_match": SG.sql_interval_match(),
         "url_filter": SG.sql_url_filter(),
         "host_reputation": SG.sql_host_reputation(),
+        "incremental_neardups": SG.sql_incremental_neardups(),
     }

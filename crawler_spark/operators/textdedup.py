@@ -128,7 +128,7 @@ def band_key(sig_cols: list[Column]) -> Column:
     return h64(F.concat(*parts))
 
 
-def minhash_lsh_pairs(
+def lsh_band_table(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -136,12 +136,10 @@ def minhash_lsh_pairs(
     num_hashes: int = MINHASH_HASHES,
     bands: int = LSH_BANDS,
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
-
-    Linear scan → band table (bands·docs rows) → self-join on
-    (band_idx, band_hash). This is the 10^10-scale dedup path; feed the
-    output through :func:`ngram_jaccard_pairs` semantics (or exact
-    verification) to confirm."""
+    """(id, band_idx, band_hash): bands·docs rows. At 10^10 docs this IS
+    the persisted dedup index — an Iceberg table bucketed by
+    (band_idx, band_hash) that incremental batches equi-join against
+    (:func:`lsh_match_new`) without ever rescanning the corpus."""
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_frames = []
@@ -157,6 +155,50 @@ def minhash_lsh_pairs(
     bt = band_frames[0]
     for f in band_frames[1:]:
         bt = bt.unionByName(f)
+    return bt
+
+
+def lsh_match_new(
+    new_bands: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental near-dup check: (id, match_id, n_hits) for every NEW
+    doc sharing ≥1 LSH band bucket with the corpus index; match_id is
+    the smallest matching corpus id, n_hits the shared-bucket count.
+
+    Both inputs are band tables (:func:`lsh_band_table`); at scale the
+    corpus side is the persisted index, so the per-batch cost is
+    O(new-batch bands) plus a bucket-pruned equi-join — the continuous
+    crawl's dedup admission path (the streaming sink's Bloom ladder is
+    the EXACT-dup analogue of this near-dup path)."""
+    nb = new_bands.select(
+        F.col(id_col).alias("_nid"), "band_idx", "band_hash"
+    )
+    cb = corpus_bands.select(
+        F.col(id_col).alias("_cid"), "band_idx", "band_hash"
+    )
+    return (
+        nb.join(cb, ["band_idx", "band_hash"])
+        .groupBy("_nid")
+        .agg(F.min("_cid").alias("match_id"), F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("_nid").alias(id_col), "match_id", "n_hits")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Linear scan → band table (bands·docs rows) → self-join on
+    (band_idx, band_hash). This is the 10^10-scale dedup path; feed the
+    output through :func:`ngram_jaccard_pairs` semantics (or exact
+    verification) to confirm."""
+    bt = lsh_band_table(df, id_col, text_col, n, num_hashes, bands)
     a = bt.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b2 = bt.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (

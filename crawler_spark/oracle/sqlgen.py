@@ -1310,3 +1310,50 @@ SELECT host, n_docs,
             WHEN (ne * {PPM}) // n_docs > {REP_NONEN_REVIEW_PPM} THEN 'review'
             ELSE 'allow' END AS verdict
 FROM agg"""
+
+
+NEW_DOC_OFFSET = 1_000_000_000
+
+
+def sql_incremental_neardups() -> str:
+    """Twin of operators/textdedup.lsh_match_new: new-batch docs (derived
+    closed-form from documents) probed against the full-corpus LSH band
+    index; near-dup twins carry an appended tail, decoys are rewrites."""
+    n, k = NGRAM_N, MINHASH_HASHES
+    rows = k // LSH_BANDS
+    mins = ",\n         ".join(
+        f"min({sql_h64_seeded('ng', j)}) AS mh{j}" for j in range(k)
+    )
+    band_selects = []
+    for b in range(LSH_BANDS):
+        concat = " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
+        )
+    bands_union = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NEW_DOC_OFFSET},
+         CASE WHEN doc_id % 10 = 0 THEN text || ' extra tail'
+              ELSE 'zz ' || CAST(doc_id AS VARCHAR) || ' qq' END
+  FROM documents WHERE doc_id % 5 = 0
+),
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
+gd AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS ng
+  FROM d WHERE len(w) >= {n}
+),
+sig AS (SELECT doc_id, {mins} FROM gd GROUP BY doc_id),
+bt AS ({bands_union})
+SELECT nb.doc_id, min(cb.doc_id) AS match_id,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM bt nb JOIN bt cb
+  ON nb.band_idx = cb.band_idx AND nb.band_hash = cb.band_hash
+WHERE nb.doc_id >= {NEW_DOC_OFFSET} AND cb.doc_id < {NEW_DOC_OFFSET}
+GROUP BY nb.doc_id"""
