@@ -48,6 +48,10 @@ def interval_join(
     # integer div, not float division: epoch-microseconds are ~2^50 and
     # the bin must be exact
     p = points.withColumn("_bin", F.expr(f"unix_micros({ts}) div {bin_us}"))
+    # degenerate/inverted intervals (end <= start) can never contain a
+    # point, but sequence() would still explode them (descending!) into
+    # wasted join rows — drop them before the explode
+    intervals = intervals.where(F.col(end) > F.col(start))
     iv = intervals.withColumn(
         "_bin",
         F.explode(

@@ -95,6 +95,11 @@ def recrawl_schedule(diff: DataFrame, budget: int = RECRAWL_BUDGET) -> DataFrame
     operator, and at 10^10 URLs the same skew treatment applies (the
     window sorts only within each host's partition slice).
     """
+    # diff is a full-outer join over two snapshot scans and feeds BOTH
+    # branches (rates aggregate + scored rows); checkpoint it once so
+    # the most expensive stage doesn't execute twice (same pattern as
+    # the pagerank node list)
+    diff = diff.localCheckpoint()
     rates = recrawl_report(diff).select("host", "change_ppm")
     w = F.create_map(
         *[x for kv in _STATUS_WEIGHT.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]

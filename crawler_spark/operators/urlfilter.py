@@ -40,7 +40,9 @@ def url_category_filter(
     """(url, host, keep, reason) — reason ∈ domain_blocklist |
     path_pattern | ok, domain taking precedence. ``blocklist`` is a
     1-column (host) table, broadcast."""
-    b = F.broadcast(blocklist.select(F.col("host").alias("_bh")))
+    # real UT1 lists repeat domains across category files — dedupe so
+    # the LEFT join stays one-row-per-URL
+    b = F.broadcast(blocklist.select(F.col("host").alias("_bh")).distinct())
     j = pages.select("url", "host").join(b, F.col("host") == F.col("_bh"), "left")
     reason = (
         F.when(F.col("_bh").isNotNull(), "domain_blocklist")

@@ -50,10 +50,10 @@ def _occ(word: str, text: str = "text") -> str:
     )
 
 
-def _ngrams_cte(n: int) -> str:
-    """CTEs d(words) + gd(distinct doc_id, ngram)."""
+def _ngrams_cte(n: int, src: str = "documents") -> str:
+    """CTEs d(words) + gd(distinct doc_id, ngram) over ``src``."""
     return f"""
-d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+d AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 gd AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(w) - {n - 2}),
@@ -62,13 +62,28 @@ gd AS (
 )"""
 
 
-def _minhash_sig_cte(n: int, k: int) -> str:
+def _minhash_sig_cte(n: int, k: int, src: str = "documents") -> str:
     mins = ",\n         ".join(
         f"min({sql_h64_seeded('ng', j)}) AS mh{j}" for j in range(k)
     )
     return f"""
-WITH {_ngrams_cte(n)},
+WITH {_ngrams_cte(n, src)},
 sig AS (SELECT doc_id, {mins} FROM gd GROUP BY doc_id)"""
+
+
+def _band_selects_union() -> str:
+    """The LSH band table as a UNION ALL over ``sig`` — the single
+    source of the band-key rule for every oracle that buckets."""
+    rows = MINHASH_HASHES // LSH_BANDS
+    selects = []
+    for b in range(LSH_BANDS):
+        concat = " || '_' || ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
+        )
+    return "\nUNION ALL\n".join(selects)
 
 
 def sql_dedup_exact() -> str:
@@ -167,18 +182,8 @@ def sql_minhash_signatures() -> str:
 
 
 def sql_minhash_lsh_pairs() -> str:
-    rows = MINHASH_HASHES // LSH_BANDS
-    band_selects = []
-    for b in range(LSH_BANDS):
-        concat = " || '_' || ".join(
-            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
-        )
-    bands_union = "\nUNION ALL\n".join(band_selects)
     return f"""{_minhash_sig_cte(NGRAM_N, MINHASH_HASHES)},
-bt AS ({bands_union})
+bt AS ({_band_selects_union()})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bt a JOIN bt b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -190,21 +195,11 @@ def sql_dedup_clusters() -> str:
     label = min reachable doc_id, via a recursive min-reachability CTE —
     the declarative twin of the Spark side's large-star/small-star
     contraction (operators/components.py)."""
-    rows = MINHASH_HASHES // LSH_BANDS
-    band_selects = []
-    for b in range(LSH_BANDS):
-        concat = " || '_' || ".join(
-            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
-        )
-    bands_union = "\nUNION ALL\n".join(band_selects)
     sig_cte = _minhash_sig_cte(NGRAM_N, MINHASH_HASHES).replace(
         "WITH ", "WITH RECURSIVE ", 1
     )
     return f"""{sig_cte},
-bt AS ({bands_union}),
+bt AS ({_band_selects_union()}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bt a JOIN bt b
@@ -979,13 +974,11 @@ SELECT source, term, tf, df, idf_ppm, score FROM (
 ) WHERE rn <= {TFIDF_TOPK}"""
 
 
-def sql_recrawl_report() -> str:
-    """Twin of operators/snapshotdiff.py over the same closed-form
-    synthetic snapshot pair."""
-    from crawler_spark.operators.snapshotdiff import CHANGE_SCALE
-
-    return f"""
-WITH base AS (
+# shared by sql_recrawl_report and sql_recrawl_schedule: the closed-form
+# synthetic snapshot pair (twin of snapshotdiff.synth_snapshots) and its
+# full-outer diff (twin of snapshotdiff.snapshot_diff)
+_SNAPSHOT_DIFF_CTES = """
+base AS (
   SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
            AS url,
          source || '.example.com' AS host,
@@ -1005,7 +998,16 @@ d AS (
               WHEN p.h IS NOT DISTINCT FROM c.h THEN 'unchanged'
               ELSE 'changed' END AS status
   FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
-),
+)"""
+
+
+def sql_recrawl_report() -> str:
+    """Twin of operators/snapshotdiff.py over the same closed-form
+    synthetic snapshot pair."""
+    from crawler_spark.operators.snapshotdiff import CHANGE_SCALE
+
+    return f"""
+WITH {_SNAPSHOT_DIFF_CTES},
 agg AS (
   SELECT host,
          CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
@@ -1094,14 +1096,22 @@ caps AS (
   SELECT url, host, doc_id,
          TIMESTAMP '{epoch}' + to_seconds(doc_id + k * {gap}) AS ts,
          md5(text || CAST(k AS VARCHAR)) AS digest
-  FROM base, unnest([0, 1, 2]) AS t(k)
+  FROM base, unnest([{ks}]) AS t(k)
 )"""
 
 
 def _capture_base() -> str:
-    from crawler_spark.operators.asof import CAPTURE_EPOCH, CAPTURE_GAP_S
+    from crawler_spark.operators.asof import (
+        CAPTURE_EPOCH,
+        CAPTURE_GAP_S,
+        CAPTURES_PER_URL,
+    )
 
-    return _CAPTURE_BASE.format(epoch=CAPTURE_EPOCH, gap=CAPTURE_GAP_S)
+    return _CAPTURE_BASE.format(
+        epoch=CAPTURE_EPOCH,
+        gap=CAPTURE_GAP_S,
+        ks=", ".join(str(k) for k in range(CAPTURES_PER_URL)),
+    )
 
 
 def sql_snapshot_asof() -> str:
@@ -1178,33 +1188,19 @@ FROM events GROUP BY event_type"""
 
 def sql_recrawl_schedule() -> str:
     """Twin of operators/snapshotdiff.recrawl_schedule over the same
-    closed-form snapshot pair as sql_recrawl_report."""
+    closed-form snapshot pair as sql_recrawl_report (shared CTEs; the
+    urgency weights come from the operator's own _STATUS_WEIGHT map)."""
     from crawler_spark.operators.snapshotdiff import (
+        _STATUS_WEIGHT,
         CHANGE_SCALE,
         RECRAWL_BUDGET,
     )
 
+    weight_case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in _STATUS_WEIGHT.items()
+    )
     return f"""
-WITH base AS (
-  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
-           AS url,
-         source || '.example.com' AS host, doc_id, text
-  FROM documents
-),
-prev AS (SELECT url, host, md5(text) AS h FROM base WHERE doc_id % 10 <> 3),
-curr AS (SELECT url, host,
-                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
-                         ELSE text END) AS h
-         FROM base WHERE doc_id % 10 <> 7),
-d AS (
-  SELECT coalesce(p.url, c.url) AS url,
-         coalesce(p.host, c.host) AS host,
-         CASE WHEN p.url IS NULL THEN 'added'
-              WHEN c.url IS NULL THEN 'gone'
-              WHEN p.h IS NOT DISTINCT FROM c.h THEN 'unchanged'
-              ELSE 'changed' END AS status
-  FROM prev p FULL OUTER JOIN curr c ON p.url = c.url
-),
+WITH {_SNAPSHOT_DIFF_CTES},
 rates AS (
   SELECT host,
          CASE WHEN sum(CASE WHEN status IN ('changed','unchanged') THEN 1
@@ -1218,8 +1214,8 @@ rates AS (
 ),
 scored AS (
   SELECT d.host, d.url,
-         CAST(CASE d.status WHEN 'changed' THEN 3 WHEN 'added' THEN 2
-              ELSE 1 END * {CHANGE_SCALE} + r.change_ppm AS BIGINT)
+         CAST(CASE d.status {weight_case} END * {CHANGE_SCALE}
+                + r.change_ppm AS BIGINT)
            AS priority
   FROM d JOIN rates r ON d.host = r.host
   WHERE d.status <> 'gone'
@@ -1319,20 +1315,10 @@ def sql_incremental_neardups() -> str:
     """Twin of operators/textdedup.lsh_match_new: new-batch docs (derived
     closed-form from documents) probed against the full-corpus LSH band
     index; near-dup twins carry an appended tail, decoys are rewrites."""
-    n, k = NGRAM_N, MINHASH_HASHES
-    rows = k // LSH_BANDS
-    mins = ",\n         ".join(
-        f"min({sql_h64_seeded('ng', j)}) AS mh{j}" for j in range(k)
-    )
-    band_selects = []
-    for b in range(LSH_BANDS):
-        concat = " || '_' || ".join(
-            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
-        )
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
-        )
-    bands_union = "\nUNION ALL\n".join(band_selects)
+    # shingle/sig/band CTEs come from the shared helpers (src=all_docs)
+    # so the rules can never diverge from the other minhash oracles
+    sig_cte = _minhash_sig_cte(NGRAM_N, MINHASH_HASHES, src="all_docs")
+    assert sig_cte.startswith("\nWITH ")
     return f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
@@ -1342,15 +1328,8 @@ WITH all_docs AS (
               ELSE 'zz ' || CAST(doc_id AS VARCHAR) || ' qq' END
   FROM documents WHERE doc_id % 5 = 0
 ),
-d AS (SELECT doc_id, string_split(text, ' ') AS w FROM all_docs),
-gd AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(w) - {n - 2}),
-                               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS ng
-  FROM d WHERE len(w) >= {n}
-),
-sig AS (SELECT doc_id, {mins} FROM gd GROUP BY doc_id),
-bt AS ({bands_union})
+{sig_cte.replace("WITH ", "", 1).lstrip()},
+bt AS ({_band_selects_union()})
 SELECT nb.doc_id, min(cb.doc_id) AS match_id,
        CAST(count(*) AS BIGINT) AS n_hits
 FROM bt nb JOIN bt cb

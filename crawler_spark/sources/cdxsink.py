@@ -17,8 +17,10 @@ and the reason a 10^10-record index answers a prefix query without
 touching 99.9% of its files.
 
 Scale shape: one range shuffle (sampled boundaries, AQE-skew aware) +
-embarrassingly-parallel sorted writes; the cluster index is one
-bounded follow-up aggregate (n_shards rows) over file-name metadata.
+embarrassingly-parallel sorted writes; the cluster index reads the
+FIRST LINE of each shard (the shard is sorted, so that is its min key)
+— O(n_shards) single-line reads, no dataset rescan (on an object
+store, a ranged GET of each file's head).
 """
 
 from __future__ import annotations
@@ -46,22 +48,21 @@ def write_cdx_index(cdx: DataFrame, path: str, n_shards: int = 8) -> None:
         .write.mode("overwrite")
         .text(f"{path}/shards")
     )
-    spark = cdx.sparkSession
-    # bounded follow-up: one row per shard file from filename metadata
-    idx = (
-        spark.read.text(f"{path}/shards")
-        .select(
-            F.substring_index(F.col("value"), " ", 1).alias("k"),
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("shard"),
-        )
-        .groupBy("shard")
-        .agg(F.min("k").alias("first_key"))
-        .orderBy("first_key")
-        .collect()
-    )
+    # each shard is internally sorted, so its first_key is literally its
+    # first line: O(n_shards) single-line reads, no dataset rescan
+    shard_dir = f"{path}/shards"
+    idx = []
+    for name in os.listdir(shard_dir):
+        if not name.startswith("part-"):
+            continue
+        with open(os.path.join(shard_dir, name), encoding="utf-8") as f:
+            first = f.readline()
+        if first:
+            idx.append((first.split(" ", 1)[0], name))
+    idx.sort()
     with open(f"{path}/cluster.idx", "w", encoding="utf-8") as f:
-        for r in idx:
-            f.write(f"{r['first_key']}\t{r['shard']}\n")
+        for first_key, shard in idx:
+            f.write(f"{first_key}\t{shard}\n")
 
 
 def read_cluster_idx(path: str) -> list[tuple[str, str]]:
@@ -83,8 +84,10 @@ def shards_for_prefix(idx: list[tuple[str, str]], prefix: str) -> list[str]:
     keys = [k for k, _ in idx]
     # last shard whose first_key <= prefix could still contain it
     lo = max(bisect.bisect_right(keys, prefix) - 1, 0)
-    # prefix\xff upper-bounds every key starting with prefix
-    hi = bisect.bisect_right(keys, prefix + "￿")
+    # append U+10FFFF (the MAXIMUM code point — not U+FFFF, which sorts
+    # below supplementary-plane chars) to upper-bound every key with
+    # this prefix
+    hi = bisect.bisect_right(keys, prefix + "\U0010FFFF")
     return [s for _, s in idx[lo:hi]]
 
 

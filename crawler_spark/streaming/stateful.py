@@ -71,12 +71,16 @@ def _session_func(gap_us: int):
             for s, e in zip(starts, ends)
         ]
         if state.exists:
-            segs.insert(0, list(state.get))
+            segs.append(list(state.get))
+        # late-but-watermark-valid events can sort BEFORE the carried
+        # state segment (or inside it), so order by start and never let
+        # a merge regress the running end
+        segs.sort(key=lambda s: (s[0], s[1]))
 
         merged = [segs[0]]
         for s in segs[1:]:
             if s[0] - merged[-1][1] <= gap_us:
-                merged[-1][1] = s[1]
+                merged[-1][1] = max(merged[-1][1], s[1])
                 merged[-1][2] += s[2]
             else:
                 merged.append(s)

@@ -83,6 +83,52 @@ def test_gap_and_timeout_sessions(spark, tmp_path):
     assert len(got) == 4
 
 
+def test_late_event_does_not_regress_session_end(spark, tmp_path):
+    # batch 0 carries h's open session to 10:20; batch 1 delivers a
+    # LATE but watermark-valid event at 10:17 — the open session's end
+    # must stay 10:20 (not regress to 10:17), so the 10:49 event in
+    # batch 2 (gap 29min from 10:20) still merges instead of splitting
+    src = tmp_path / "latelog"
+    src.mkdir()
+    now = time.time()
+    _write(
+        str(src / "a.parquet"),
+        [("h", _t(10, 0)), ("h", _t(10, 20)), ("wm", _t(10, 25))],
+        now - 10,
+    )
+    _write(str(src / "b.parquet"), [("h", _t(10, 17))], now - 5)
+    _write(
+        str(src / "c.parquet"),
+        [("h", _t(10, 49)), ("wm", _t(23, 0))],  # wm pushes the timeout
+        now - 2,
+    )
+    _write(str(src / "d.parquet"), [("wm", _t(23, 30))], now)
+
+    stream = (
+        spark.readStream.schema("host string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream_host_sessions(stream, gap_us=GAP_US)
+        .writeStream.format("memory")
+        .queryName("host_sessions3")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM host_sessions3 WHERE host = 'h'").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # one merged session 10:00-10:49 with all 4 events
+    start = dt.datetime(2026, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+    end = dt.datetime(2026, 1, 1, 10, 49, tzinfo=dt.timezone.utc)
+    assert r["start_us"] == int(start.timestamp() * 1_000_000)
+    assert r["end_us"] == int(end.timestamp() * 1_000_000)
+    assert (r["n_events"], r["closed_by"]) == (4, "timeout")
+
+
 def test_cross_batch_merge_not_split(spark, tmp_path):
     # a cluster spanning two micro-batches with gaps under the threshold
     # must stay ONE session (state carried, merged, no spurious close)
