@@ -776,6 +776,16 @@ def _q_incremental_neardups(spark, sf_dir):
     return lsh_match_new(lsh_band_table(new), lsh_band_table(docs))
 
 
+def _q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar quantization of the embedding corpus
+    (operators/similarity.py): one exploded partial-agg pass for the
+    per-dim scales, broadcast 64-double scale vector, single zip_with
+    map pass — the 4x storage shrink before ANN at 10^9 vectors."""
+    from crawler_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -841,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "host_reputation": _q_host_reputation,
         "incremental_neardups": _q_incremental_neardups,
+        "quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -974,4 +985,5 @@ GROUP BY source""",
         "url_filter": SG.sql_url_filter(),
         "host_reputation": SG.sql_host_reputation(),
         "incremental_neardups": SG.sql_incremental_neardups(),
+        "quantize_embeddings": SG.sql_quantize_embeddings(),
     }

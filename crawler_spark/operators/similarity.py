@@ -267,3 +267,57 @@ def centroids(emb: DataFrame, label_col: str = "label", vec_col: str = "embeddin
     return agg.select(
         label_col, F.col("n_vecs"), F.round(F.sqrt(sq), 4).alias("centroid_norm")
     )
+
+
+QUANT_LEVELS = 127  # int8 symmetric range
+
+
+def quantize_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-dimension int8 scalar quantization (faiss-SQ8
+    shape): q_d = floor(x_d * 127 / max|x_d|), the storage step that
+    shrinks a 10^9-vector float32 corpus 4x before ANN.
+
+    Scale shape: the per-dim max|x| is ONE exploded partial aggregate
+    (docs x dims rows combine map-side down to ``dims`` rows), the
+    64-float scale vector broadcasts, and quantization is a single
+    zip_with map pass — no shuffle of the corpus. floor (not round)
+    keeps both engines' IEEE doubles bit-identical.
+
+    Returns (id, qvec array<int>, l1 bigint) — l1 is the quantized
+    Manhattan norm, the cheap magnitude signal int8 ANN re-rankers use.
+    """
+    dim_max = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("v").cast("double"))).alias("m"))
+    )
+    mx = dim_max.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("ms")
+    )
+    qd = F.zip_with(
+        F.col(vec_col),
+        F.col("ms"),
+        lambda x, m: F.when(m == 0.0, F.lit(0.0)).otherwise(
+            F.floor(x.cast("double") * QUANT_LEVELS / m)
+        ),
+    )
+    return (
+        emb.crossJoin(F.broadcast(mx))
+        .select(
+            id_col,
+            F.transform(qd, lambda v: v.cast("int")).alias("qvec"),
+        )
+        .withColumn(
+            "l1",
+            F.aggregate(
+                "qvec",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.abs(x).cast("long"),
+            ),
+        )
+    )

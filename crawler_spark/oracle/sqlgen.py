@@ -1336,3 +1336,31 @@ FROM bt nb JOIN bt cb
   ON nb.band_idx = cb.band_idx AND nb.band_hash = cb.band_hash
 WHERE nb.doc_id >= {NEW_DOC_OFFSET} AND cb.doc_id < {NEW_DOC_OFFSET}
 GROUP BY nb.doc_id"""
+
+
+def sql_quantize_embeddings() -> str:
+    """Twin of operators/similarity.quantize_embeddings — same per-dim
+    max-abs scales, same floor(x*127/m) double arithmetic."""
+    from crawler_spark.operators.similarity import EMBED_DIM, QUANT_LEVELS
+
+    return f"""
+WITH dm AS (
+  SELECT i, max(abs(CAST(embedding[i] AS DOUBLE))) AS m
+  FROM embeddings CROSS JOIN
+       (SELECT CAST(range AS INTEGER) AS i FROM range(1, {EMBED_DIM + 1})) r
+  GROUP BY i
+),
+mx AS (SELECT list(m ORDER BY i) AS ms FROM dm),
+q AS (
+  SELECT vec_id,
+         list_transform(range(1, {EMBED_DIM + 1}), i ->
+           CASE WHEN ms[i] = 0
+                THEN 0
+                ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * {QUANT_LEVELS}
+                                / ms[i]) AS INTEGER) END) AS qvec
+  FROM embeddings CROSS JOIN mx
+)
+SELECT vec_id, qvec,
+       CAST(list_aggregate(list_transform(qvec, x -> abs(x)), 'sum')
+            AS BIGINT) AS l1
+FROM q"""
