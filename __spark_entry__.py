@@ -786,6 +786,17 @@ def _q_quantize_embeddings(spark, sf_dir):
     return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_trap_detect(spark, sf_dir):
+    """Crawler-trap detection (operators/trapdetect.py): URL → path
+    template via chained JVM regexp_replace, one partial-agg count per
+    (host, template), integer-ppm explosion ratio vs the host's mean
+    template size — the signal that demotes calendar/session-id URL
+    mints in the frontier."""
+    from crawler_spark.operators.trapdetect import synth_trap_urls, trap_detect
+
+    return trap_detect(synth_trap_urls(_t(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": _q_host_reputation,
         "incremental_neardups": _q_incremental_neardups,
         "quantize_embeddings": _q_quantize_embeddings,
+        "trap_detect": _q_trap_detect,
     }
 
 
@@ -986,4 +998,5 @@ GROUP BY source""",
         "host_reputation": SG.sql_host_reputation(),
         "incremental_neardups": SG.sql_incremental_neardups(),
         "quantize_embeddings": SG.sql_quantize_embeddings(),
+        "trap_detect": SG.sql_trap_detect(),
     }

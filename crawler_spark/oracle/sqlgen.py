@@ -1364,3 +1364,50 @@ SELECT vec_id, qvec,
        CAST(list_aggregate(list_transform(qvec, x -> abs(x)), 'sum')
             AS BIGINT) AS l1
 FROM q"""
+
+
+def sql_trap_detect() -> str:
+    """Twin of operators/trapdetect.trap_detect over the planted-trap
+    URL synth. DuckDB regexp_replace needs the 'g' flag for the global
+    digit/hex collapses (Spark's is global by default)."""
+    from crawler_spark.operators.trapdetect import (
+        PPM as TRAP_PPM,
+        TRAP_MIN_URLS,
+        TRAP_RATIO_PPM,
+    )
+
+    return f"""
+WITH pages AS (
+  SELECT CASE WHEN CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER)
+                   % 5 = 0 AND (doc_id // 20) % 3 <> 2
+         THEN 'https://' || source || '.example.com/calendar/2026/'
+              || CAST(doc_id % 12 + 1 AS VARCHAR) || '/day-'
+              || CAST(doc_id AS VARCHAR)
+         ELSE 'https://' || source || '.example.com/section-'
+              || substr('abcdefghij', CAST((doc_id // 20) % 10 AS INTEGER) + 1, 1)
+              || '/page-' || CAST(doc_id AS VARCHAR) END AS url,
+         source || '.example.com' AS host
+  FROM documents
+),
+t AS (
+  SELECT host,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,
+           '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+           '\\?.*$', ''),
+           '[0-9a-fA-F]{{8,}}', 'H', 'g'),
+           '[0-9]+', 'N', 'g') AS template
+  FROM pages
+),
+counts AS (
+  SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls
+  FROM t GROUP BY host, template
+),
+m AS (
+  SELECT host, CAST(sum(n_urls) AS BIGINT) // count(*) AS mean_n
+  FROM counts GROUP BY host
+)
+SELECT c.host, c.template, c.n_urls, m.mean_n,
+       (c.n_urls * {TRAP_PPM}) // m.mean_n AS ratio_ppm,
+       (c.n_urls * {TRAP_PPM}) // m.mean_n >= {TRAP_RATIO_PPM} AS is_trap
+FROM counts c JOIN m ON c.host = m.host
+WHERE c.n_urls >= {TRAP_MIN_URLS}"""
