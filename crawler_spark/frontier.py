@@ -80,6 +80,11 @@ _FCOLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 SEEN_SCHEMA = "bucket int, surt string, url string, host string, round int"
 
+# priority demotion for URLs matching a wired trap template — larger
+# than any seed/link priority magnitude, so traps sort after every
+# non-trap candidate but remain crawlable (demote, don't drop)
+TRAP_PENALTY = 1e12
+
 
 @dataclass
 class RoundMetrics:
@@ -157,6 +162,7 @@ class FrontierCrawler:
         budget: int | None = None,
         min_confidence: str = "medium",
         adaptive: bool = False,
+        traps: DataFrame | None = None,
     ):
         """adaptive=True enables the AdaptiveRateLimiter semantics
         (reference src/utils/rate_limiter.py:184-207): each round's
@@ -185,6 +191,11 @@ class FrontierCrawler:
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence
         self.adaptive = adaptive
+        # trap-template table (host, template) — e.g. trap_detect output
+        # from the previous crawl; default off (no demotion), same
+        # opt-in pattern as the adaptive limiter. Broadcast per insert,
+        # so persist the (small) table once.
+        self.traps = traps.persist() if traps is not None else None
         # rate in request/s units (the reference's limiter currency); the
         # round budget is always burst + rate·round_duration
         self._rate = max(
@@ -215,6 +226,8 @@ class FrontierCrawler:
     def close(self) -> None:
         if self.robots is not None:
             self.robots.unpersist()
+        if self.traps is not None:
+            self.traps.unpersist()
 
     # ------------------------------------------------------------ setup --
     def _rcfg(self) -> EngineConfig:
@@ -232,8 +245,14 @@ class FrontierCrawler:
         }
 
     def _canonical_frontier(self, urls: DataFrame, depth_col, priority_col) -> DataFrame:
-        """urls(url[, ...]) → frontier rows with canonical keys."""
-        return (
+        """urls(url[, ...]) → frontier rows with canonical keys. When a
+        trap-template table is wired (``traps=``), matching URLs enter
+        the frontier with their priority demoted by TRAP_PENALTY at
+        INSERT time — every downstream ordering contract (candidate
+        dedupe, admission windows, the oracle's sort key) is untouched;
+        traps simply sort last and are crawled only when a host's
+        budget has room (Heritrix-style demote-don't-drop)."""
+        rows = (
             urls.withColumn("c", canonicalize_udf("url"))
             .select(
                 "url",
@@ -245,6 +264,31 @@ class FrontierCrawler:
                 F.lit(0).alias("failure_count"),
             )
             .where(F.col("surt").isNotNull())
+        )
+        if self.traps is None:
+            return rows
+        from crawler_spark.operators.trapdetect import url_template
+
+        t = F.broadcast(
+            self.traps.select(
+                F.col("host").alias("_th"), F.col("template").alias("_tt")
+            ).distinct()
+        )
+        return (
+            rows.withColumn("_tmpl", url_template(F.col("url")))
+            .join(
+                t,
+                (F.col("host") == F.col("_th")) & (F.col("_tmpl") == F.col("_tt")),
+                "left",
+            )
+            .withColumn(
+                "priority",
+                F.when(
+                    F.col("_th").isNotNull(),
+                    F.col("priority") - F.lit(TRAP_PENALTY),
+                ).otherwise(F.col("priority")),
+            )
+            .drop("_tmpl", "_th", "_tt")
         )
 
     def init_from_seeds(self, seeds: DataFrame) -> None:

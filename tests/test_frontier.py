@@ -361,3 +361,50 @@ def test_resume_rebuilds_blooms_on_hash_version_mismatch(spark, corpus, tmp_path
     assert got == expect
     crawler.close()
     crawler2.close()
+
+
+def test_trap_demotion_at_frontier_insert(spark, tmp_path):
+    """With a wired trap table, matching URLs enter the frontier with
+    priority demoted by TRAP_PENALTY; non-matching URLs and the
+    traps=None default are untouched. Admission order then follows from
+    the ordering contract already proven above (priority drives the
+    per-host admission window)."""
+    from crawler_spark.frontier import TRAP_PENALTY
+
+    pages = generate_pages(spark, 50, num_warcs=2)
+    seeds = spark.createDataFrame(
+        [
+            (0, "https://traphost.example/calendar/2026/1/d-1"),
+            (1, "https://traphost.example/about"),
+            (2, "https://traphost.example/calendar/2026/2/d-2"),
+            (3, "https://otherhost.example/calendar/2026/3/d-3"),  # other host
+        ],
+        "seed_id long, url string",
+    )
+    traps = spark.createDataFrame(
+        [("traphost.example", "/calendar/N/N/d-N")], "host string, template string"
+    )
+
+    store = SnapshotStore(str(tmp_path / "trapstore"))
+    crawler = FrontierCrawler(spark, store, pages, cfg=CFG, budget=2, traps=traps)
+    crawler.init_from_seeds(seeds)
+    got = {r["url"]: r["priority"] for r in store.read(spark, "frontier").collect()}
+    crawler.close()
+    assert got["https://traphost.example/calendar/2026/1/d-1"] == -0.0 - TRAP_PENALTY
+    assert got["https://traphost.example/calendar/2026/2/d-2"] == -2.0 - TRAP_PENALTY
+    assert got["https://traphost.example/about"] == -1.0
+    # template matches but host differs -> not demoted
+    assert got["https://otherhost.example/calendar/2026/3/d-3"] == -3.0
+
+    # default traps=None: bit-identical priorities, no demotion column
+    store2 = SnapshotStore(str(tmp_path / "trapstore2"))
+    crawler2 = FrontierCrawler(spark, store2, pages, cfg=CFG, budget=2)
+    crawler2.init_from_seeds(seeds)
+    got2 = {r["url"]: r["priority"] for r in store2.read(spark, "frontier").collect()}
+    crawler2.close()
+    assert got2 == {
+        "https://traphost.example/calendar/2026/1/d-1": -0.0,
+        "https://traphost.example/about": -1.0,
+        "https://traphost.example/calendar/2026/2/d-2": -2.0,
+        "https://otherhost.example/calendar/2026/3/d-3": -3.0,
+    }
