@@ -797,6 +797,25 @@ def _q_trap_detect(spark, sf_dir):
     return trap_detect(synth_trap_urls(_t(spark, sf_dir, "documents")))
 
 
+def _q_host_link_summary(spark, sf_dir):
+    """Host-level link graph (operators/linkgraph.py): page edges
+    resolved to hosts through two dim joins, partial-agg pair counts
+    (hosts² ≪ pages²), bounded per-src-host top-k over the aggregated
+    rows — the domain-authority/link-spam layer above the page graph."""
+    from crawler_spark.operators.linkgraph import (
+        host_link_summary,
+        synth_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    hosts = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat("source", F.lit(".example.com")).alias("host"),
+    )
+    return host_link_summary(synth_link_graph(docs, n), hosts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -864,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardups": _q_incremental_neardups,
         "quantize_embeddings": _q_quantize_embeddings,
         "trap_detect": _q_trap_detect,
+        "host_link_summary": _q_host_link_summary,
     }
 
 
@@ -999,4 +1019,5 @@ GROUP BY source""",
         "incremental_neardups": SG.sql_incremental_neardups(),
         "quantize_embeddings": SG.sql_quantize_embeddings(),
         "trap_detect": SG.sql_trap_detect(),
+        "host_link_summary": SG.sql_host_link_summary(),
     }

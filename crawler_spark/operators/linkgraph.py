@@ -142,3 +142,39 @@ def pagerank_over_documents(docs: DataFrame) -> DataFrame:
         )
     edges = synth_link_graph(docs, n)
     return pagerank(edges, nodes, n)
+
+
+HOSTGRAPH_TOPK = 5
+
+
+def host_link_summary(
+    edges: DataFrame, doc_hosts: DataFrame, k: int = HOSTGRAPH_TOPK
+) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links, rk) — the
+    k most-linked-to foreign hosts per source host. The domain-authority
+    / link-spam signal layer above the page graph (host-level rollups
+    are how 10^10-edge web graphs become analyzable: hosts² ≪ pages²).
+
+    Scale shape: two dim joins resolve doc→host (at 10^10 edges make
+    the doc→host dim a broadcast or a bucketed storage-partitioned
+    join), then a partial-agg group-by on (src_host, dst_host) —
+    hosts×hosts output, tiny — and a bounded per-src-host top-k window
+    over the aggregated rows only."""
+    s = doc_hosts.select(F.col("doc_id").alias("src"), F.col("host").alias("src_host"))
+    t = doc_hosts.select(F.col("doc_id").alias("dst"), F.col("host").alias("dst_host"))
+    agg = (
+        edges.join(s, "src")
+        .join(t, "dst")
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_host").orderBy(
+        F.desc("n_links"), F.asc("dst_host")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

@@ -863,9 +863,6 @@ def sql_linkgraph_pagerank() -> str:
     is bit-identical to the Spark side regardless of aggregation order;
     DuckDB's hugeint sum is cast back at the one place it widens."""
     from crawler_spark.operators.linkgraph import (
-        LINK_MAX_DEG,
-        LINK_MULT,
-        LINK_STEP,
         PR_DAMP_DEN,
         PR_DAMP_NUM,
         PR_ITERATIONS,
@@ -887,17 +884,7 @@ r{i} AS (
   ) s USING (node)
 )""")
     return f"""
-WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
-e AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src,
-           (src * {LINK_MULT} + {LINK_STEP} * k) % (SELECT n FROM nn) AS dst
-    FROM (SELECT node AS src,
-                 unnest(range(1, node % {LINK_MAX_DEG} + 2)) AS k
-          FROM nd)
-  ) WHERE src <> dst
-),
+WITH {_link_edges_ctes()},
 od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
 ideg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg
          FROM e GROUP BY dst),
@@ -1411,3 +1398,53 @@ SELECT c.host, c.template, c.n_urls, m.mean_n,
        (c.n_urls * {TRAP_PPM}) // m.mean_n >= {TRAP_RATIO_PPM} AS is_trap
 FROM counts c JOIN m ON c.host = m.host
 WHERE c.n_urls >= {TRAP_MIN_URLS}"""
+
+
+def _link_edges_ctes() -> str:
+    """nn/nd/e CTEs: the closed-form synthetic link graph (twin of
+    linkgraph.synth_link_graph) — shared by the pagerank and host-graph
+    oracles."""
+    from crawler_spark.operators.linkgraph import (
+        LINK_MAX_DEG,
+        LINK_MULT,
+        LINK_STEP,
+    )
+
+    return f"""
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+nd AS (SELECT CAST(doc_id AS BIGINT) AS node FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src,
+           (src * {LINK_MULT} + {LINK_STEP} * k) % (SELECT n FROM nn) AS dst
+    FROM (SELECT node AS src,
+                 unnest(range(1, node % {LINK_MAX_DEG} + 2)) AS k
+          FROM nd)
+  ) WHERE src <> dst
+)"""
+
+
+def sql_host_link_summary() -> str:
+    """Twin of operators/linkgraph.host_link_summary over the synthetic
+    link graph, hosts resolved through the documents table itself."""
+    from crawler_spark.operators.linkgraph import HOSTGRAPH_TOPK
+
+    return f"""
+WITH {_link_edges_ctes()},
+hosts AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 source || '.example.com' AS host
+          FROM documents),
+agg AS (
+  SELECT hs.host AS src_host, ht.host AS dst_host,
+         CAST(count(*) AS BIGINT) AS n_links
+  FROM e JOIN hosts hs ON e.src = hs.doc_id
+         JOIN hosts ht ON e.dst = ht.doc_id
+  WHERE hs.host <> ht.host
+  GROUP BY hs.host, ht.host
+)
+SELECT src_host, dst_host, n_links, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY src_host ORDER BY n_links DESC, dst_host ASC) AS BIGINT)
+    AS rk
+  FROM agg
+) WHERE rk <= {HOSTGRAPH_TOPK}"""

@@ -99,3 +99,26 @@ def test_pagerank_plan_shape(spark):
     )
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # pure join + partial-agg iterations
+
+
+def test_host_link_summary_topk_and_exclusions(spark):
+    from crawler_spark.operators.linkgraph import host_link_summary
+
+    edges = spark.createDataFrame(
+        # h1 -> h2 twice, h1 -> h3 once, h1 intra-host once (dropped),
+        # h2 -> h1 once
+        [(0, 10), (1, 11), (2, 20), (3, 0), (0, 1), (10, 0)],
+        "src long, dst long",
+    )
+    hosts = spark.createDataFrame(
+        [(i, "h1") for i in (0, 1, 2, 3)]
+        + [(i, "h2") for i in (10, 11)]
+        + [(20, "h3")],
+        "doc_id long, host string",
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): (r["n_links"], r["rk"])
+        for r in host_link_summary(edges, hosts, k=1).collect()
+    }
+    # k=1: h1 keeps only its top target (h2, 2 links); h3 row cut
+    assert got == {("h1", "h2"): (2, 1), ("h2", "h1"): (1, 1)}
