@@ -802,18 +802,9 @@ def _q_host_link_summary(spark, sf_dir):
     resolved to hosts through two dim joins, partial-agg pair counts
     (hosts² ≪ pages²), bounded per-src-host top-k over the aggregated
     rows — the domain-authority/link-spam layer above the page graph."""
-    from crawler_spark.operators.linkgraph import (
-        host_link_summary,
-        synth_link_graph,
-    )
+    from crawler_spark.operators.linkgraph import host_links_over_documents
 
-    docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
-    hosts = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.concat("source", F.lit(".example.com")).alias("host"),
-    )
-    return host_link_summary(synth_link_graph(docs, n), hosts)
+    return host_links_over_documents(_t(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -191,11 +191,19 @@ class FrontierCrawler:
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence
         self.adaptive = adaptive
-        # trap-template table (host, template) — e.g. trap_detect output
-        # from the previous crawl; default off (no demotion), same
-        # opt-in pattern as the adaptive limiter. Broadcast per insert,
-        # so persist the (small) table once.
-        self.traps = traps.persist() if traps is not None else None
+        # trap-template table (host, template[, is_trap]) — e.g.
+        # trap_detect output from the previous crawl; default off (no
+        # demotion), same opt-in pattern as the adaptive limiter. Only
+        # rows flagged is_trap demote (trap_detect emits EVERY template
+        # with ≥2 URLs; demoting all of them would invert the ordering
+        # on normal hosts). Broadcast per insert, so persist the deduped
+        # (host, template) projection once — not the raw table, which
+        # would redo the distinct shuffle on every insert.
+        if traps is not None:
+            t = traps.where(F.col("is_trap")) if "is_trap" in traps.columns else traps
+            self.traps = t.select("host", "template").distinct().persist()
+        else:
+            self.traps = None
         # rate in request/s units (the reference's limiter currency); the
         # round budget is always burst + rate·round_duration
         self._rate = max(
@@ -272,10 +280,15 @@ class FrontierCrawler:
         t = F.broadcast(
             self.traps.select(
                 F.col("host").alias("_th"), F.col("template").alias("_tt")
-            ).distinct()
+            )
         )
+        # Template the CANONICAL path, not the raw url: the join's host
+        # key is canonical, and a raw-form difference (uppercase scheme,
+        # default port, dot segments) must not let a trap URL slip past
+        # the stored template. url_template's scheme-strip is a no-op on
+        # a bare path, so the shape matches what trap_detect computed.
         return (
-            rows.withColumn("_tmpl", url_template(F.col("url")))
+            rows.withColumn("_tmpl", url_template(F.col("path")))
             .join(
                 t,
                 (F.col("host") == F.col("_th")) & (F.col("_tmpl") == F.col("_tt")),

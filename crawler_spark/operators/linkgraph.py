@@ -144,6 +144,19 @@ def pagerank_over_documents(docs: DataFrame) -> DataFrame:
     return pagerank(edges, nodes, n)
 
 
+def host_links_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: synthesize the arithmetic link graph and the
+    doc→host dim over the documents table, then roll up to the host
+    level. One bounded driver scalar (the node count) — the same role
+    it plays in pagerank_over_documents."""
+    n = docs.count()
+    hosts = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat("source", F.lit(".example.com")).alias("host"),
+    )
+    return host_link_summary(synth_link_graph(docs, n), hosts)
+
+
 HOSTGRAPH_TOPK = 5
 
 

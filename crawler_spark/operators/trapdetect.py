@@ -31,7 +31,7 @@ TRAP_RATIO_PPM = 4 * PPM  # ≥4x the host's mean template size
 def url_template(url_col) -> F.Column:
     """Path shape: strip scheme+host, digit runs → N, ≥8-char hex runs
     → H, then drop the query string entirely."""
-    path = F.regexp_replace(url_col, r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    path = F.regexp_replace(url_col, r"(?i)^[a-z][a-z0-9+.-]*://[^/]*", "")
     path = F.regexp_replace(path, r"\?.*$", "")
     path = F.regexp_replace(path, r"[0-9a-fA-F]{8,}", "H")
     return F.regexp_replace(path, r"[0-9]+", "N")
@@ -69,10 +69,11 @@ def trap_detect(
 
 
 def synth_trap_urls(docs: DataFrame) -> DataFrame:
-    """(url, host) with a planted trap: on hosts with g%5==0, every
-    even doc mints a distinct calendar-style URL under ONE template
-    while the rest spread over 10 section templates — so the trap
-    template dwarfs the host's own mean."""
+    """(url, host) with a planted trap: on hosts with g%5==0, two of
+    every three docs (row-in-source mod 3 ≠ 2) mint a distinct
+    calendar-style URL under ONE template while the rest spread over
+    10 section templates — so the trap template dwarfs the host's own
+    mean."""
     g = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
     trap_url = F.concat(
         F.lit("https://"), "source", F.lit(".example.com/calendar/2026/"),

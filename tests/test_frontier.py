@@ -396,6 +396,38 @@ def test_trap_demotion_at_frontier_insert(spark, tmp_path):
     # template matches but host differs -> not demoted
     assert got["https://otherhost.example/calendar/2026/3/d-3"] == -3.0
 
+    # trap_detect-shaped table (has is_trap): only flagged rows demote —
+    # a benign repeated template (is_trap=false) keeps full priority
+    traps_flagged = spark.createDataFrame(
+        [
+            ("traphost.example", "/calendar/N/N/d-N", True),
+            ("traphost.example", "/about", False),
+        ],
+        "host string, template string, is_trap boolean",
+    )
+    store3 = SnapshotStore(str(tmp_path / "trapstore3"))
+    crawler3 = FrontierCrawler(
+        spark, store3, pages, cfg=CFG, budget=2, traps=traps_flagged
+    )
+    crawler3.init_from_seeds(seeds)
+    got3 = {r["url"]: r["priority"] for r in store3.read(spark, "frontier").collect()}
+    crawler3.close()
+    assert got3["https://traphost.example/calendar/2026/1/d-1"] == -0.0 - TRAP_PENALTY
+    assert got3["https://traphost.example/about"] == -1.0  # is_trap=false: untouched
+
+    # raw-form variance (uppercase scheme/host, dot segments) must not
+    # dodge the demotion: the template is computed on the CANONICAL path
+    seeds_raw = spark.createDataFrame(
+        [(0, "HTTPS://TrapHost.example/x/../calendar/2026/4/d-4")],
+        "seed_id long, url string",
+    )
+    store4 = SnapshotStore(str(tmp_path / "trapstore4"))
+    crawler4 = FrontierCrawler(spark, store4, pages, cfg=CFG, budget=2, traps=traps)
+    crawler4.init_from_seeds(seeds_raw)
+    got4 = {r["url"]: r["priority"] for r in store4.read(spark, "frontier").collect()}
+    crawler4.close()
+    assert got4["HTTPS://TrapHost.example/x/../calendar/2026/4/d-4"] == -0.0 - TRAP_PENALTY
+
     # default traps=None: bit-identical priorities, no demotion column
     store2 = SnapshotStore(str(tmp_path / "trapstore2"))
     crawler2 = FrontierCrawler(spark, store2, pages, cfg=CFG, budget=2)
