@@ -807,6 +807,35 @@ def _q_host_link_summary(spark, sf_dir):
     return host_links_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_cuckoo_unseen(spark, sf_dir):
+    """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
+    'bloom/cuckoo' second form): build the partitioned filter over the
+    seen set PLUS a retracted subset, DELETE the retraction (the op the
+    Bloom form can't do), then probe+exact-confirm the full candidate
+    list. Output = per-source unseen counts; must equal the plain
+    anti-join bit-exactly regardless of fingerprint collisions."""
+    from crawler_spark.operators.cuckoo import (
+        build_cuckoo,
+        delete_cuckoo,
+        filter_unseen_cuckoo,
+    )
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+    )
+    ever = urls.where(F.col("doc_id") % 3 != 0)
+    retracted = ever.where(F.col("doc_id") % 9 == 1)
+    seen = ever.where(F.col("doc_id") % 9 != 1)
+    filters = delete_cuckoo(build_cuckoo(ever.select("surt")), retracted.select("surt"))
+    unseen = filter_unseen_cuckoo(urls, seen.select("surt"), filters)
+    return unseen.groupBy("source").agg(F.count(F.lit(1)).alias("n_unseen"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_classify": _q_flagship,
@@ -875,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "trap_detect": _q_trap_detect,
         "host_link_summary": _q_host_link_summary,
+        "cuckoo_unseen": _q_cuckoo_unseen,
     }
 
 
@@ -1011,4 +1041,5 @@ GROUP BY source""",
         "quantize_embeddings": SG.sql_quantize_embeddings(),
         "trap_detect": SG.sql_trap_detect(),
         "host_link_summary": SG.sql_host_link_summary(),
+        "cuckoo_unseen": SG.sql_cuckoo_unseen(),
     }

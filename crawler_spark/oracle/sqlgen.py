@@ -1448,3 +1448,15 @@ SELECT src_host, dst_host, n_links, rk FROM (
     AS rk
   FROM agg
 ) WHERE rk <= {HOSTGRAPH_TOPK}"""
+
+
+def sql_cuckoo_unseen() -> str:
+    """Twin of the cuckoo-filter unseen query: the filter is an
+    accelerator whose probe+exact-confirm output must equal the plain
+    NOT-IN anti-join (unseen = doc_id%3==0 ∪ the retracted %9==1 band),
+    so the oracle is the set algebra, not the filter."""
+    return """
+SELECT source, CAST(count(*) AS BIGINT) AS n_unseen
+FROM documents
+WHERE doc_id % 3 = 0 OR doc_id % 9 = 1
+GROUP BY source"""
