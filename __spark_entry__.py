@@ -807,6 +807,17 @@ def _q_host_link_summary(spark, sf_dir):
     return host_links_over_documents(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_anchor_terms(spark, sf_dir):
+    """Anchor-text rollup (operators/anchortext.py): explode anchor
+    terms (map stage), ONE partial-agg (dst, term) count, per-target
+    top-k window over aggregated rows only — the what-the-web-says
+    signal for uncrawled frontier URLs and anchor-spam detection."""
+    from crawler_spark.operators.anchortext import anchors_over_documents
+
+    return anchors_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -905,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_detect": _q_trap_detect,
         "host_link_summary": _q_host_link_summary,
         "cuckoo_unseen": _q_cuckoo_unseen,
+        "anchor_terms": _q_anchor_terms,
     }
 
 
@@ -1042,4 +1054,5 @@ GROUP BY source""",
         "trap_detect": SG.sql_trap_detect(),
         "host_link_summary": SG.sql_host_link_summary(),
         "cuckoo_unseen": SG.sql_cuckoo_unseen(),
+        "anchor_terms": SG.sql_anchor_terms(),
     }

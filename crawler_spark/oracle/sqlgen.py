@@ -1460,3 +1460,28 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_unseen
 FROM documents
 WHERE doc_id % 3 = 0 OR doc_id % 9 = 1
 GROUP BY source"""
+
+
+def sql_anchor_terms() -> str:
+    """Twin of operators/anchortext.anchor_terms_topk over the
+    closed-form anchored link graph."""
+    from crawler_spark.operators.anchortext import ANCHOR_TOPK, ANCHOR_VOCAB
+
+    vocab = "[" + ", ".join(f"'{w}'" for w in ANCHOR_VOCAB) + "]"
+    nv = len(ANCHOR_VOCAB)
+    return f"""
+WITH {_link_edges_ctes()},
+ae AS (
+  SELECT dst,
+         {vocab}[CAST((src + dst) % {nv} AS INTEGER) + 1] || ' ' ||
+         {vocab}[CAST((dst * 3 + src) % {nv} AS INTEGER) + 1] AS anchor
+  FROM e
+),
+terms AS (SELECT dst, unnest(string_split(anchor, ' ')) AS term FROM ae),
+agg AS (SELECT dst, term, CAST(count(*) AS BIGINT) AS n_refs
+        FROM terms GROUP BY dst, term)
+SELECT dst, term, n_refs, rk FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY dst ORDER BY n_refs DESC, term ASC) AS BIGINT) AS rk
+  FROM agg
+) WHERE rk <= {ANCHOR_TOPK}"""
