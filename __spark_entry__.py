@@ -818,6 +818,35 @@ def _q_anchor_terms(spark, sf_dir):
     return anchors_over_documents(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_registrable_rollup(spark, sf_dir):
+    """Registered-domain politeness grouping (functions/url.py
+    registrable_domain — PSL-lite): hosts with multi-label public
+    suffixes collapse to suffix+1 label, pure JVM split/slice CASE, then
+    one partial-agg rollup — the courtesy-budget key coarser than host
+    (all subdomains of a site share one budget)."""
+    from crawler_spark.functions.url import registrable_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.regexp_extract("source", r"(\d+)$", 1).cast("int")
+    tlds = F.array(
+        F.lit("com"), F.lit("co.uk"), F.lit("org"),
+        F.lit("com.au"), F.lit("de"), F.lit("co.jp"),
+    )
+    host = F.concat(
+        F.lit("sub"), (F.col("doc_id") % 3).cast("string"), F.lit("."),
+        F.col("source"), F.lit("."), F.element_at(tlds, g % 6 + 1),
+    )
+    h = docs.select(host.alias("host"))
+    return (
+        h.groupBy(registrable_domain(F.col("host")).alias("registrable"))
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_urls"),
+        )
+    )
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -917,6 +946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_link_summary": _q_host_link_summary,
         "cuckoo_unseen": _q_cuckoo_unseen,
         "anchor_terms": _q_anchor_terms,
+        "registrable_rollup": _q_registrable_rollup,
     }
 
 
@@ -1055,4 +1085,5 @@ GROUP BY source""",
         "host_link_summary": SG.sql_host_link_summary(),
         "cuckoo_unseen": SG.sql_cuckoo_unseen(),
         "anchor_terms": SG.sql_anchor_terms(),
+        "registrable_rollup": SG.sql_registrable_rollup(),
     }

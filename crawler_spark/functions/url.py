@@ -215,6 +215,42 @@ def is_subdomain(domain: Column) -> Column:
     return F.size(F.split(domain, r"\.")) > 2
 
 
+# PSL-lite: the most common multi-label public suffixes (subset of the
+# Mozilla Public Suffix List, publicsuffix.org — public data). A
+# production deployment loads the full PSL into this same isin/broadcast
+# shape (it's ~9k literals — still a codegen'd IN-set or a broadcast
+# join, never a UDF); the subset keeps the semantics honest for tests
+# without embedding the list.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "co.in", "co.kr", "co.za", "com.sg", "com.tr",
+    "com.br", "net.br", "org.br", "com.mx", "com.ar", "com.cn", "com.tw",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Registered (PSL) domain of a host: public suffix + one label —
+    ``a.b.site.co.uk`` → ``site.co.uk``, ``www.site.com`` → ``site.com``.
+
+    This is the politeness-grouping key coarser than host: real crawlers
+    budget per *registered domain* so ``a.site.com`` and ``b.site.com``
+    share one courtesy budget (Heritrix's assignment-level "queue by
+    authority"). Pure JVM: split, conditional slice, join — the
+    CASE branches evaluate lazily so the 3-label slice never runs on a
+    1-label host."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.array_join(F.slice(parts, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(parts, n - 2, 3), ".")
+    return (
+        F.when(n <= 2, host)
+        .when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
 def host_bucket(surt_or_host: Column, num_buckets: int) -> Column:
     """Stable partition bucket for a host/SURT key: pmod(xxhash64(k), N).
 

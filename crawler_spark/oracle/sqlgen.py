@@ -1485,3 +1485,30 @@ SELECT dst, term, n_refs, rk FROM (
     PARTITION BY dst ORDER BY n_refs DESC, term ASC) AS BIGINT) AS rk
   FROM agg
 ) WHERE rk <= {ANCHOR_TOPK}"""
+
+
+def sql_registrable_rollup() -> str:
+    """Twin of the registrable-domain rollup: same PSL-lite suffix set,
+    regex form (synth hosts always carry >=3 labels, so the 2-label
+    fallback branch of the Spark CASE is exercised by pytest, not here)."""
+    from crawler_spark.functions.url import TWO_LEVEL_SUFFIXES
+
+    suf = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return f"""
+WITH h AS (
+  SELECT 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.' || source || '.' ||
+         ['com','co.uk','org','com.au','de','co.jp'][
+           CAST(CAST(regexp_extract(source, '(\\d+)$', 1) AS INTEGER) % 6
+                AS INTEGER) + 1] AS host
+  FROM documents
+),
+r AS (
+  SELECT host,
+         CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) IN ({suf})
+              THEN regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+              ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS registrable
+  FROM h
+)
+SELECT registrable, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM r GROUP BY registrable"""
