@@ -847,6 +847,18 @@ def _q_registrable_rollup(spark, sf_dir):
     )
 
 
+
+def _q_redirect_rollup(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer
+    doubling resolves every 3xx chain to its terminal target in
+    log2(L) self-joins (lineage-truncated per round), rho/cycle members
+    flagged after the 32-hop cap; rolled up as a chain-length histogram
+    + cycle census."""
+    from crawler_spark.operators.redirects import redirects_over_documents
+
+    return redirects_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -947,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_unseen": _q_cuckoo_unseen,
         "anchor_terms": _q_anchor_terms,
         "registrable_rollup": _q_registrable_rollup,
+        "redirect_rollup": _q_redirect_rollup,
     }
 
 
@@ -1086,4 +1099,5 @@ GROUP BY source""",
         "cuckoo_unseen": SG.sql_cuckoo_unseen(),
         "anchor_terms": SG.sql_anchor_terms(),
         "registrable_rollup": SG.sql_registrable_rollup(),
+        "redirect_rollup": SG.sql_redirect_rollup(),
     }

@@ -1512,3 +1512,37 @@ r AS (
 SELECT registrable, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
        CAST(count(*) AS BIGINT) AS n_urls
 FROM r GROUP BY registrable"""
+
+
+def sql_redirect_rollup() -> str:
+    """Twin of operators/redirects.redirects_over_documents: DuckDB
+    walks the chains with a hop-capped recursive CTE (the sequential
+    formulation the pointer-doubling join replaces); same 32-hop cap."""
+    return """
+WITH RECURSIVE e AS (
+  SELECT 'https://r.example.com/u/' || CAST(doc_id AS VARCHAR) AS src,
+         'https://r.example.com/u/' ||
+         CAST(CASE WHEN doc_id % 100 = 55 THEN doc_id + 2
+                   WHEN doc_id % 100 = 57 THEN doc_id - 2
+                   ELSE doc_id - 1 END AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+),
+walk AS (
+  SELECT src AS url, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+  UNION ALL
+  SELECT w.url, e2.dst, w.hops + 1 FROM walk w JOIN e e2 ON w.cur = e2.src
+  WHERE w.hops < 32
+),
+resolved AS (
+  SELECT url, cur AS final_url, hops FROM walk
+  WHERE cur NOT IN (SELECT src FROM e)
+)
+SELECT hops, is_cycle, CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT final_url) AS BIGINT) AS n_targets
+FROM (
+  SELECT url, final_url, hops, false AS is_cycle FROM resolved
+  UNION ALL
+  SELECT src AS url, NULL AS final_url, NULL AS hops, true AS is_cycle
+  FROM e WHERE src NOT IN (SELECT url FROM resolved)
+)
+GROUP BY hops, is_cycle"""
