@@ -859,6 +859,18 @@ def _q_redirect_rollup(spark, sf_dir):
     return redirects_over_documents(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_sitemap_parse(spark, sf_dir):
+    """Sitemap ingestion (sources/sitemap.py): per-host <urlset> XML →
+    one row per entry via explode(split)+regexp_extract — a pure JVM
+    map stage, no XML lib, no UDF; priority as exact ppm with the spec
+    default. The oracle derives the entry set closed-form, so this
+    query must actually parse the XML it synthesized."""
+    from crawler_spark.sources.sitemap import parse_sitemaps, synth_sitemaps
+
+    return parse_sitemaps(synth_sitemaps(_t(spark, sf_dir, "documents")))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -960,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": _q_anchor_terms,
         "registrable_rollup": _q_registrable_rollup,
         "redirect_rollup": _q_redirect_rollup,
+        "sitemap_parse": _q_sitemap_parse,
     }
 
 
@@ -1100,4 +1113,5 @@ GROUP BY source""",
         "anchor_terms": SG.sql_anchor_terms(),
         "registrable_rollup": SG.sql_registrable_rollup(),
         "redirect_rollup": SG.sql_redirect_rollup(),
+        "sitemap_parse": SG.sql_sitemap_parse(),
     }

@@ -1546,3 +1546,19 @@ FROM (
   FROM e WHERE src NOT IN (SELECT url FROM resolved)
 )
 GROUP BY hops, is_cycle"""
+
+
+def sql_sitemap_parse() -> str:
+    """Twin of sources/sitemap: the oracle derives the entry SET
+    closed-form, so the Spark side must genuinely parse the XML it
+    generated to match."""
+    return """
+SELECT source || '.example.com' AS host,
+       'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         AS loc,
+       CASE WHEN doc_id % 2 = 1
+            THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       END AS lastmod,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 9 + 1) * 100000
+                 ELSE 500000 END AS BIGINT) AS priority_ppm
+FROM documents"""
