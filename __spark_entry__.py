@@ -871,6 +871,18 @@ def _q_sitemap_parse(spark, sf_dir):
     return parse_sitemaps(synth_sitemaps(_t(spark, sf_dir, "documents")))
 
 
+
+def _q_mix_plan(spark, sf_dir):
+    """Corpus mix allocation (operators/mixing.py): one partial-agg
+    token-stats pass over the corpus, then an exact integer-ppm plan
+    (desired tokens, upsampling epochs, tail sampling rate) over strata
+    rows only — the GPT-3/Pile-style mix table as an auditable
+    operator; rounding loss is reported, never silent."""
+    from crawler_spark.operators.mixing import mix_over_documents
+
+    return mix_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -973,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_rollup": _q_registrable_rollup,
         "redirect_rollup": _q_redirect_rollup,
         "sitemap_parse": _q_sitemap_parse,
+        "mix_plan": _q_mix_plan,
     }
 
 
@@ -1114,4 +1127,5 @@ GROUP BY source""",
         "registrable_rollup": SG.sql_registrable_rollup(),
         "redirect_rollup": SG.sql_redirect_rollup(),
         "sitemap_parse": SG.sql_sitemap_parse(),
+        "mix_plan": SG.sql_mix_plan(),
     }

@@ -1,0 +1,119 @@
+"""Corpus mix allocation — turning crawl strata into a training recipe.
+
+Every large LM pretraining corpus is a weighted MIX of sources: GPT-3's
+published table upsamples Wikipedia ~3 epochs while Common Crawl runs
+under one (Brown et al. 2020 §2.2); The Pile and DoReMi publish the
+same shape — per-source weights over a token budget. The planning step
+is pure arithmetic over per-stratum token counts, but it has to be
+exact and auditable: the sampler (operators/sampling.py) executes
+whatever rates this plan emits, and a rounding drift of 10^-3 at a
+10^13-token budget is 10^10 tokens of silent skew.
+
+Shape: the stats side is one partial-agg group-by over the corpus
+(tokens per stratum — the only pass that touches data); the plan join
+runs over strata rows only (dozens), so the allocation itself is
+driver-scale no matter the corpus size. All integer arithmetic in ppm:
+
+- ``desired = budget · weight_ppm / 10^6`` (integer div),
+- ``full_epochs = desired div n_tokens`` — whole passes over the
+  stratum (upsampling),
+- ``tail_rate_ppm = (desired mod n_tokens) · 10^6 / n_tokens`` — the
+  sampling rate for the final partial pass,
+- ``planned = n_tokens · full_epochs + n_tokens · tail_rate_ppm / 10^6``
+  — reported so the |planned − desired| rounding loss is visible per
+  stratum (bounded by 1 ppm of the stratum), never silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.textstats import bpe_token_count
+
+PPM = 1_000_000
+
+
+def stratum_token_stats(docs: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """(stratum, n_docs, n_tokens): the one corpus-wide pass."""
+    return docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_token_count(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def mix_allocation(
+    stats: DataFrame, targets: DataFrame, budget_tokens: int
+) -> DataFrame:
+    """stats(stratum, n_docs, n_tokens) ⋈ targets(stratum, weight_ppm)
+    → per-stratum plan: desired tokens, whole upsampling epochs, the
+    tail sampling rate, and the planned total actually achievable.
+    Strata missing a target weight get weight 0 (excluded, visibly:
+    the row still appears with desired 0)."""
+    j = (
+        stats.join(targets, "stratum", "left")
+        .withColumn("weight_ppm", F.coalesce("weight_ppm", F.lit(0)).cast("long"))
+        .withColumn(
+            "desired_tokens",
+            F.expr(f"(CAST({budget_tokens} AS BIGINT) * weight_ppm) div {PPM}"),
+        )
+        .withColumns(
+            {
+                # empty strata (n_tokens = 0) plan to zero, not divide-by-zero
+                "full_epochs": F.expr(
+                    "CASE WHEN n_tokens > 0 THEN desired_tokens div n_tokens "
+                    "ELSE CAST(0 AS BIGINT) END"
+                ),
+                "tail_rate_ppm": F.expr(
+                    f"CASE WHEN n_tokens > 0 THEN "
+                    f"((desired_tokens % n_tokens) * {PPM}) div n_tokens "
+                    f"ELSE CAST(0 AS BIGINT) END"
+                ),
+            }
+        )
+    )
+    return j.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "weight_ppm",
+        "desired_tokens",
+        "full_epochs",
+        "tail_rate_ppm",
+        F.expr(f"n_tokens * full_epochs + (n_tokens * tail_rate_ppm) div {PPM}")
+        .cast("long")
+        .alias("planned_tokens"),
+    )
+
+
+def synth_mix_targets(stats: DataFrame) -> DataFrame:
+    """Closed-form target weights over the strata present: stratum g
+    (trailing digits of the name) gets raw weight ``g % 7 + 1``,
+    normalized to ppm with the remainder assigned to the
+    lexicographically-first stratum so the weights sum to exactly
+    10^6 — mirrors hand-written mix tables, which always pin the sum."""
+    g = F.regexp_extract("stratum", r"(\d+)$", 1).cast("long")
+    raw = stats.select("stratum", (g % 7 + 1).alias("_w"))
+    tot = raw.agg(F.sum("_w").alias("_tot"), F.min("stratum").alias("_first"))
+    return (
+        raw.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            (
+                F.expr(f"(_w * {PPM}) div _tot")
+                + F.when(
+                    F.col("stratum") == F.col("_first"),
+                    F.lit(PPM) - F.expr(f"sum((_w * {PPM}) div _tot) over ()"),
+                ).otherwise(F.lit(0))
+            ).cast("long").alias("weight_ppm"),
+        )
+    )
+
+
+MIX_BUDGET_TOKENS = 10_000_000
+
+
+def mix_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: stats pass → closed-form targets → exact plan."""
+    stats = stratum_token_stats(docs)
+    return mix_allocation(stats, synth_mix_targets(stats), MIX_BUDGET_TOKENS)

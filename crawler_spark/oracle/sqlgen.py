@@ -1562,3 +1562,54 @@ SELECT source || '.example.com' AS host,
        CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 9 + 1) * 100000
                  ELSE 500000 END AS BIGINT) AS priority_ppm
 FROM documents"""
+
+
+def sql_mix_plan() -> str:
+    """Twin of operators/mixing.mix_over_documents: same integer-ppm
+    arithmetic, weights normalized with the remainder pinned to the
+    lexicographically-first stratum."""
+    from crawler_spark.operators.mixing import MIX_BUDGET_TOKENS, PPM as MPPM
+
+    b = MIX_BUDGET_TOKENS
+    return f"""
+WITH stats AS (
+  SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+raw AS (
+  SELECT stratum,
+         CAST(regexp_extract(stratum, '(\\d+)$', 1) AS BIGINT) % 7 + 1 AS w
+  FROM stats
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS t, min(stratum) AS fst FROM raw),
+wts AS (
+  SELECT stratum,
+         (w * {MPPM}) // (SELECT t FROM tot)
+         + CASE WHEN stratum = (SELECT fst FROM tot)
+                THEN {MPPM} - (SELECT CAST(sum((w * {MPPM}) // (SELECT t FROM tot)) AS BIGINT) FROM raw)
+                ELSE 0 END AS weight_ppm
+  FROM raw
+),
+j AS (
+  SELECT s.stratum, s.n_docs, s.n_tokens,
+         CAST(coalesce(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
+         CAST(({b} * coalesce(w.weight_ppm, 0)) // {MPPM} AS BIGINT)
+           AS desired_tokens
+  FROM stats s LEFT JOIN wts w USING (stratum)
+),
+p AS (
+  SELECT *,
+         CAST(CASE WHEN n_tokens > 0 THEN desired_tokens // n_tokens
+              ELSE 0 END AS BIGINT) AS full_epochs,
+         CAST(CASE WHEN n_tokens > 0
+              THEN ((desired_tokens % n_tokens) * {MPPM}) // n_tokens
+              ELSE 0 END AS BIGINT) AS tail_rate_ppm
+  FROM j
+)
+SELECT stratum, n_docs, n_tokens, weight_ppm, desired_tokens,
+       full_epochs, tail_rate_ppm,
+       CAST(n_tokens * full_epochs + (n_tokens * tail_rate_ppm) // {MPPM}
+            AS BIGINT) AS planned_tokens
+FROM p"""
