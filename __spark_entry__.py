@@ -883,6 +883,16 @@ def _q_mix_plan(spark, sf_dir):
     return mix_over_documents(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_semdedup(spark, sf_dir):
+    """SemDedup (operators/similarity.py, Abbas et al. 2023): map-side
+    nearest-centroid assignment (literal-embedded centroids, no
+    shuffle), within-cell pair compare only — O(n^2/c) instead of
+    all-pairs — drop higher-id near-dups above the cosine threshold;
+    audit view of every vector's verdict."""
+    return SIM.semdedup(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -986,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_rollup": _q_redirect_rollup,
         "sitemap_parse": _q_sitemap_parse,
         "mix_plan": _q_mix_plan,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -1128,4 +1139,5 @@ GROUP BY source""",
         "redirect_rollup": SG.sql_redirect_rollup(),
         "sitemap_parse": SG.sql_sitemap_parse(),
         "mix_plan": SG.sql_mix_plan(),
+        "semdedup": SG.sql_semdedup(),
     }

@@ -177,6 +177,85 @@ def centroid_vectors(
     )
 
 
+def assign_cells_mapside(
+    emb: DataFrame, cent_rows, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid cell per vector as a pure map-side argmax: the
+    collected centroid rows (ncells ≪ corpus) are embedded as literals
+    and the winner is ``array_min`` over ``struct(-score, cell)`` —
+    zero shuffle over the corpus, no window, tie-break (highest cosine,
+    lowest cell) identical to the oracle's ORDER BY. Shared by IVF-Flat
+    probing and SemDedup clustering."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in r["centroid"]]),
+                    )
+                ).alias("neg_s"),
+                F.lit(r["cell"]).alias("cell"),
+            )
+            for r in cent_rows
+        ]
+    )
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(scored).getField("cell").alias("cell"),
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540 — public): prune
+    semantic near-duplicates INSIDE coarse clusters instead of across
+    all pairs. Assign every vector to its nearest centroid (map-side
+    argmax, zero shuffle), then compare pairs only within a cell and
+    drop any vector that has a lower-id cell-mate above the cosine
+    threshold (keep-lowest-id — deterministic; the paper's
+    keep-farthest-from-centroid is a one-line swap of the keep key).
+
+    This is the scale route for embedding dedup: all-pairs is O(n²);
+    with c ≈ √n cells the within-cell work is O(n²/c) ≈ O(n^1.5), and
+    each cell's pair join is an equi-join on the cell id — skewed mega
+    cells are the known failure mode, handled the same way as hot LSH
+    buckets (cap or split; cells here are label-balanced).
+
+    Returns (vec_id, cell, is_kept) for every vector — the audit view;
+    filter ``is_kept`` for the pruned corpus."""
+    cent_rows = sorted(
+        centroid_vectors(emb, vec_col=vec_col).collect(), key=lambda r: r["cell"]
+    )
+    assigned = assign_cells_mapside(emb, cent_rows, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -201,25 +280,7 @@ def ivf_topk(
     cent_rows = sorted(
         centroid_vectors(emb, vec_col=vec_col).collect(), key=lambda r: r["cell"]
     )
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -cosine(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in r["centroid"]]),
-                    )
-                ).alias("neg_s"),
-                F.lit(r["cell"]).alias("cell"),
-            )
-            for r in cent_rows
-        ]
-    )
-    assigned = emb.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array_min(scored).getField("cell").alias("cell"),
-    )
+    assigned = assign_cells_mapside(emb, cent_rows, id_col=id_col, vec_col=vec_col)
     cents = F.broadcast(
         emb.sparkSession.createDataFrame(
             [(r["cell"], [float(v) for v in r["centroid"]]) for r in cent_rows],

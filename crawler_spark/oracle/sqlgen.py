@@ -457,19 +457,28 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round({cos}, 4) >= {threshold}"""
 
 
-def sql_ivf_topk(query_ids: list[int], k: int = TOPK_K, nprobe: int = 2) -> str:
-    ids = ", ".join(str(i) for i in query_ids)
+def _sql_cell_assign_ctes() -> str:
+    """cagg/c CTE pair: the 6-dp-rounded per-label centroids — shared by
+    the IVF-Flat and SemDedup oracles (twin of
+    similarity.centroid_vectors + assign_cells_mapside)."""
     dims = ", ".join(
         f"round(avg(CAST(embedding[{d + 1}] AS DOUBLE)), 6) AS d{d}"
         for d in range(EMBED_DIM)
     )
     cent = "[" + ", ".join(f"d{d}" for d in range(EMBED_DIM)) + "]"
+    return (
+        f"cagg AS (SELECT label AS cell, {dims} FROM embeddings GROUP BY label),\n"
+        f"c AS (SELECT cell, {cent} AS centroid FROM cagg)"
+    )
+
+
+def sql_ivf_topk(query_ids: list[int], k: int = TOPK_K, nprobe: int = 2) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
     cos_ec = _sql_cosine("e.embedding", "c.centroid")
     cos_qc = _sql_cosine("q.q_vec", "c.centroid")
     cos_qa = _sql_cosine("p.q_vec", "a.embedding")
     return f"""
-WITH cagg AS (SELECT label AS cell, {dims} FROM embeddings GROUP BY label),
-c AS (SELECT cell, {cent} AS centroid FROM cagg),
+WITH {_sql_cell_assign_ctes()},
 a0 AS (SELECT e.vec_id, e.embedding, c.cell,
               row_number() OVER (PARTITION BY e.vec_id
                                  ORDER BY {cos_ec} DESC, c.cell ASC) AS rn
@@ -1613,3 +1622,27 @@ SELECT stratum, n_docs, n_tokens, weight_ppm, desired_tokens,
        CAST(n_tokens * full_epochs + (n_tokens * tail_rate_ppm) // {MPPM}
             AS BIGINT) AS planned_tokens
 FROM p"""
+
+
+def sql_semdedup() -> str:
+    """Twin of similarity.semdedup: same centroid assignment CTEs as
+    the IVF oracle, within-cell lower-id pair drop."""
+    from crawler_spark.operators.similarity import NEARDUP_COSINE
+
+    cos_ec = _sql_cosine("e.embedding", "c.centroid")
+    cos_ab = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH {_sql_cell_assign_ctes()},
+a0 AS (SELECT e.vec_id, e.embedding, c.cell,
+              row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {cos_ec} DESC, c.cell ASC) AS rn
+       FROM embeddings e CROSS JOIN c),
+assigned AS (SELECT vec_id, embedding, cell FROM a0 WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({cos_ab}, 4) >= {NEARDUP_COSINE}
+)
+SELECT s.vec_id, s.cell, d.vec_id IS NULL AS is_kept
+FROM assigned s LEFT JOIN dropped d USING (vec_id)"""
