@@ -893,6 +893,38 @@ def _q_semdedup(spark, sf_dir):
     return SIM.semdedup(_t(spark, sf_dir, "embeddings"))
 
 
+
+def _q_revisit_rollup(spark, sf_dir):
+    """WARC revisit-record marking (operators/revisit.py — WARC 1.1
+    identical-payload-digest profile): one window over (url, digest)
+    flags recrawls whose payload didn't change; per-host ledger of
+    bytes stored vs bytes the revisit records saved."""
+    from crawler_spark.operators.revisit import (
+        revisit_savings,
+        synth_revisit_captures,
+    )
+
+    return revisit_savings(synth_revisit_captures(_t(spark, sf_dir, "documents")))
+
+
+def _q_sitemap_recrawl(spark, sf_dir):
+    """Conditional-fetch planner (operators/revisit.py): sitemap
+    lastmod advertisements joined against the newest capture per URL —
+    stale pages need a refetch, lastmod-less pages fall back to the
+    change-rate schedule. The cheapest request is the one not made."""
+    from crawler_spark.operators.revisit import (
+        sitemap_staleness,
+        synth_revisit_captures,
+    )
+    from crawler_spark.sources.sitemap import parse_sitemaps, synth_sitemaps
+
+    docs = _t(spark, sf_dir, "documents")
+    return sitemap_staleness(
+        parse_sitemaps(synth_sitemaps(docs)).select("host", "loc", "lastmod"),
+        synth_revisit_captures(docs),
+    )
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -997,6 +1029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": _q_sitemap_parse,
         "mix_plan": _q_mix_plan,
         "semdedup": _q_semdedup,
+        "revisit_rollup": _q_revisit_rollup,
+        "sitemap_recrawl": _q_sitemap_recrawl,
     }
 
 
@@ -1140,4 +1174,6 @@ GROUP BY source""",
         "sitemap_parse": SG.sql_sitemap_parse(),
         "mix_plan": SG.sql_mix_plan(),
         "semdedup": SG.sql_semdedup(),
+        "revisit_rollup": SG.sql_revisit_rollup(),
+        "sitemap_recrawl": SG.sql_sitemap_recrawl(),
     }

@@ -1646,3 +1646,69 @@ dropped AS (
 )
 SELECT s.vec_id, s.cell, d.vec_id IS NULL AS is_kept
 FROM assigned s LEFT JOIN dropped d USING (vec_id)"""
+
+
+def _revisit_caps_cte() -> str:
+    """Closed-form capture store WITH planted revisits (twin of
+    operators/revisit.synth_revisit_captures): even docs' k=2 capture
+    repeats the k=0 digest."""
+    from crawler_spark.operators.asof import CAPTURE_EPOCH, CAPTURE_GAP_S
+
+    return f"""
+caps AS (
+  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS url,
+         source || '.example.com' AS host,
+         TIMESTAMP '{CAPTURE_EPOCH}' + to_seconds(doc_id + k * {CAPTURE_GAP_S})
+           AS ts,
+         md5(text || CAST(CASE WHEN doc_id % 2 = 0 AND k = 2 THEN 0 ELSE k END
+                          AS VARCHAR)) AS digest,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents, unnest([0, 1, 2]) AS t(k)
+)"""
+
+
+def sql_revisit_rollup() -> str:
+    """Twin of operators/revisit.revisit_savings."""
+    return f"""
+WITH {_revisit_caps_cte()},
+m AS (
+  SELECT *, row_number() OVER (PARTITION BY url, digest ORDER BY ts) > 1
+         AS is_revisit
+  FROM caps
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_captures,
+       CAST(sum(CASE WHEN is_revisit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_revisits,
+       CAST(sum(CASE WHEN NOT is_revisit THEN n_bytes ELSE 0 END) AS BIGINT)
+         AS bytes_stored,
+       CAST(sum(CASE WHEN is_revisit THEN n_bytes ELSE 0 END) AS BIGINT)
+         AS bytes_saved
+FROM m GROUP BY host"""
+
+
+def sql_sitemap_recrawl() -> str:
+    """Twin of operators/revisit.sitemap_staleness over the closed-form
+    sitemap rows + revisit capture store."""
+    return f"""
+WITH {_revisit_caps_cte()},
+sm AS (
+  SELECT source || '.example.com' AS host,
+         'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           AS loc,
+         CASE WHEN doc_id % 2 = 1
+              THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         END AS lastmod
+  FROM documents
+),
+latest AS (SELECT url AS loc, max(ts) AS last_ts FROM caps GROUP BY url),
+j AS (SELECT sm.*, l.last_ts FROM sm LEFT JOIN latest l USING (loc))
+SELECT host, CAST(count(*) AS BIGINT) AS n_listed,
+       CAST(sum(CASE WHEN last_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uncaptured,
+       CAST(sum(CASE WHEN last_ts IS NOT NULL AND lastmod IS NOT NULL
+                      AND CAST(lastmod AS DATE) > CAST(last_ts AS DATE)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+       CAST(sum(CASE WHEN lastmod IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unknown
+FROM j GROUP BY host"""
