@@ -852,7 +852,7 @@ def _q_redirect_rollup(spark, sf_dir):
     """Redirect-chain resolution (operators/redirects.py): pointer
     doubling resolves every 3xx chain to its terminal target in
     log2(L) self-joins (lineage-truncated per round), rho/cycle members
-    flagged after the 32-hop cap; rolled up as a chain-length histogram
+    flagged unresolved after the 32-hop cap; rolled up as a chain-length histogram
     + cycle census."""
     from crawler_spark.operators.redirects import redirects_over_documents
 

@@ -120,9 +120,15 @@ CAPTURES_PER_URL = 3
 CAPTURE_GAP_S = 3600
 
 
-def synth_captures(docs: DataFrame) -> DataFrame:
-    """(url, host, ts, digest): CAPTURES_PER_URL captures per doc url at
-    epoch + doc_id seconds + k hours, digest = md5(text || k)."""
+def synth_captures(
+    docs: DataFrame, digest_k=None, with_bytes: bool = False
+) -> DataFrame:
+    """(url, host, ts, digest[, n_bytes]): CAPTURES_PER_URL captures per
+    doc url at epoch + doc_id seconds + k hours, digest = md5(text ||
+    ordinal). ``digest_k`` overrides the digest ordinal (a Column over
+    ``k``/``doc_id``) — revisit.synth_revisit_captures plants unchanged
+    recrawls by mapping some ordinals back to 0; the default (the
+    capture ordinal itself) makes every capture distinct."""
     k = F.explode(F.sequence(F.lit(0), F.lit(CAPTURES_PER_URL - 1))).alias("k")
     base = docs.select(
         F.concat(
@@ -137,12 +143,16 @@ def synth_captures(docs: DataFrame) -> DataFrame:
     ts = F.to_timestamp(F.lit(CAPTURE_EPOCH)) + F.make_interval(
         secs=F.col("doc_id") + F.col("k") * CAPTURE_GAP_S
     )
-    return base.select(
+    dk = F.col("k") if digest_k is None else digest_k
+    cols = [
         "url",
         "host",
         ts.alias("ts"),
-        F.md5(F.concat("text", F.col("k").cast("string"))).alias("digest"),
-    )
+        F.md5(F.concat("text", dk.cast("string"))).alias("digest"),
+    ]
+    if with_bytes:
+        cols.append(F.length("text").cast("long").alias("n_bytes"))
+    return base.select(*cols)
 
 
 def synth_probes(docs: DataFrame) -> DataFrame:

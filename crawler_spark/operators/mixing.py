@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 from crawler_spark.functions.textstats import bpe_token_count
 
 PPM = 1_000_000
+# Past this stratum size, (r · PPM) no longer fits int64; the tail-rate
+# division scales r and n down by 2^TAIL_SHIFT first (error < 1 ppm at
+# the boundary, relatively smaller beyond; exact below it). 2^22 keeps
+# the scaled numerator < 2^63 for every int64 n_tokens.
+TAIL_SHIFT_ABOVE = 4_000_000_000_000
+TAIL_SHIFT = 22
 
 
 def stratum_token_stats(docs: DataFrame, stratum_col: str = "source") -> DataFrame:
@@ -48,14 +54,38 @@ def mix_allocation(
     """stats(stratum, n_docs, n_tokens) ⋈ targets(stratum, weight_ppm)
     → per-stratum plan: desired tokens, whole upsampling epochs, the
     tail sampling rate, and the planned total actually achievable.
-    Strata missing a target weight get weight 0 (excluded, visibly:
-    the row still appears with desired 0)."""
+    FULL outer join so both mismatch directions stay audit-visible:
+    a stratum missing a target weight appears with weight 0, and a
+    target naming a stratum the corpus lacks appears with zero stats
+    and its (unachievable) desired share — never a silently vanished
+    slice of the budget."""
+    # Overflow discipline (ANSI mode, int64 only — same reduce-before-
+    # multiply rule as bloom._positions):
+    # - budget·weight and n·tail split exactly around PPM:
+    #   x·y div P == (x div P)·y + ((x mod P)·y) div P, every term < 2^63
+    #   for any int64 budget/n_tokens.
+    # - the tail rate r·P div n has an unbounded denominator, so past
+    #   TAIL_SHIFT_ABOVE both r and n are scaled down 2^22 first: the
+    #   result shifts by < 1 ppm at the boundary (and relatively less
+    #   beyond), and the branch is never taken at oracle scale.
     j = (
-        stats.join(targets, "stratum", "left")
-        .withColumn("weight_ppm", F.coalesce("weight_ppm", F.lit(0)).cast("long"))
+        stats.join(targets, "stratum", "full")
+        .withColumns(
+            {
+                "weight_ppm": F.coalesce("weight_ppm", F.lit(0)).cast("long"),
+                # a target naming a stratum the corpus lacks must stay a
+                # VISIBLE row (its budget share would otherwise vanish
+                # silently): zero stats, nonzero desired
+                "n_docs": F.coalesce("n_docs", F.lit(0)).cast("long"),
+                "n_tokens": F.coalesce("n_tokens", F.lit(0)).cast("long"),
+            }
+        )
         .withColumn(
             "desired_tokens",
-            F.expr(f"(CAST({budget_tokens} AS BIGINT) * weight_ppm) div {PPM}"),
+            F.expr(
+                f"(CAST({budget_tokens} AS BIGINT) div {PPM}) * weight_ppm"
+                f" + ((CAST({budget_tokens} AS BIGINT) % {PPM}) * weight_ppm) div {PPM}"
+            ),
         )
         .withColumns(
             {
@@ -65,9 +95,11 @@ def mix_allocation(
                     "ELSE CAST(0 AS BIGINT) END"
                 ),
                 "tail_rate_ppm": F.expr(
-                    f"CASE WHEN n_tokens > 0 THEN "
-                    f"((desired_tokens % n_tokens) * {PPM}) div n_tokens "
-                    f"ELSE CAST(0 AS BIGINT) END"
+                    f"CASE WHEN n_tokens <= 0 THEN CAST(0 AS BIGINT) "
+                    f"WHEN n_tokens > {TAIL_SHIFT_ABOVE} THEN "
+                    f"((shiftright(desired_tokens % n_tokens, {TAIL_SHIFT})) * {PPM})"
+                    f" div shiftright(n_tokens, {TAIL_SHIFT}) "
+                    f"ELSE ((desired_tokens % n_tokens) * {PPM}) div n_tokens END"
                 ),
             }
         )
@@ -80,7 +112,10 @@ def mix_allocation(
         "desired_tokens",
         "full_epochs",
         "tail_rate_ppm",
-        F.expr(f"n_tokens * full_epochs + (n_tokens * tail_rate_ppm) div {PPM}")
+        F.expr(
+            f"n_tokens * full_epochs + (n_tokens div {PPM}) * tail_rate_ppm"
+            f" + ((n_tokens % {PPM}) * tail_rate_ppm) div {PPM}"
+        )
         .cast("long")
         .alias("planned_tokens"),
     )

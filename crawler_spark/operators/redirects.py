@@ -16,8 +16,13 @@ round substitutes ``P(u) ← (P(P(u).next).next, hops₁+hops₂)`` where
 defined — one self equi-join per round, so a chain of length L resolves
 in ⌈log₂ L⌉ rounds instead of L sequential lookups. ``max_doublings=5``
 covers 32 hops, past any real redirect policy. Rows still pointing at a
-redirecting URL after the cap are rho/cycle members: ``is_cycle=true``,
-final/hops NULL (the honest answer — there is no terminal).
+redirecting URL after the cap are ``unresolved=true`` with final/hops
+NULL — cycle members, rho tails, or (only if a ladder exceeds the cap,
+which no real redirect policy allows) capped straight chains. The
+column is named for what the algorithm KNOWS (no terminal was reached
+within the cap), not a cycle claim it cannot certify: discriminating a
+true cycle from a >cap ladder needs chain-length accounting the
+doubling join does not keep.
 
 Scale shape: each round is one equi-join between two copies of the
 mapping, shuffle-partitioned on the join key; lineage is truncated per
@@ -39,8 +44,8 @@ RESOLVE_MAX_DOUBLINGS = 5  # resolves chains up to 2^5 = 32 hops
 def resolve_redirects(
     edges: DataFrame, max_doublings: int = RESOLVE_MAX_DOUBLINGS
 ) -> DataFrame:
-    """edges(src, dst) → (url, final_url, hops, is_cycle) for every
-    redirecting url. ``final_url``/``hops`` are NULL when is_cycle."""
+    """edges(src, dst) → (url, final_url, hops, unresolved) for every
+    redirecting url. ``final_url``/``hops`` are NULL when unresolved."""
     p = (
         edges.select(
             F.col("src").alias("url"),
@@ -72,14 +77,14 @@ def resolve_redirects(
         "url",
         F.when(F.col("_s").isNull(), F.col("nxt")).alias("final_url"),
         F.when(F.col("_s").isNull(), F.col("hops")).alias("hops"),
-        F.col("_s").isNotNull().alias("is_cycle"),
+        F.col("_s").isNotNull().alias("unresolved"),
     )
 
 
 # Synthetic redirect graph (test/bench scaffolding): within each decade,
 # u(d) → u(d-1) down to the terminal u(10k); per hundred, the 55↔57 pair
-# forms a 2-cycle and 56/58/59 are rho-tails into it — chains, terminals,
-# cycles and rho shapes from one closed form both engines can derive.
+# forms a 2-cycle and 56/58/59 are rho-tails into it (all unresolved) —
+# chains, terminals, cycles and rho shapes from one closed form both engines can derive.
 def synth_redirect_edges(docs: DataFrame) -> DataFrame:
     d = F.col("doc_id")
     u = lambda c: F.concat(F.lit("https://r.example.com/u/"), c.cast("string"))  # noqa: E731
@@ -95,11 +100,11 @@ def synth_redirect_edges(docs: DataFrame) -> DataFrame:
 
 def redirects_over_documents(docs: DataFrame) -> DataFrame:
     """Driver query: resolve the synthetic redirect graph and roll up
-    per (hops, is_cycle) — chain-length histogram + cycle census. The
+    per (hops, unresolved) — chain-length histogram + unresolved census. The
     rollup keeps the output small and hash-stable while every resolved
     row feeds it."""
     res = resolve_redirects(synth_redirect_edges(docs))
-    return res.groupBy("hops", "is_cycle").agg(
+    return res.groupBy("hops", "unresolved").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.count_distinct(F.col("final_url")).alias("n_targets"),
     )

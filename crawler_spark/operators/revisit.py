@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawler_spark.operators.asof import CAPTURE_EPOCH, CAPTURE_GAP_S
+from crawler_spark.operators.asof import synth_captures
 
 
 def mark_revisits(captures: DataFrame) -> DataFrame:
@@ -74,33 +74,11 @@ def sitemap_staleness(sitemap_rows: DataFrame, captures: DataFrame) -> DataFrame
     )
 
 
-# Closed-form capture store WITH planted revisits: same URL/ts shape as
-# asof.synth_captures, but even docs' third capture (k=2) repeats the
-# k=0 digest — the page didn't change, so the recrawl stores a revisit.
+# Closed-form capture store WITH planted revisits: asof.synth_captures
+# with even docs' third capture (k=2) repeating the k=0 digest — the
+# page didn't change, so the recrawl stores a revisit.
 def synth_revisit_captures(docs: DataFrame) -> DataFrame:
-    k = F.explode(
-        F.sequence(F.lit(0), F.lit(2))
-    ).alias("k")
-    base = docs.select(
-        F.concat(
-            F.lit("https://"), "source", F.lit(".example.com/p/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        F.concat("source", F.lit(".example.com")).alias("host"),
-        "doc_id",
-        "text",
-        k,
-    )
     dk = F.when(
         (F.col("doc_id") % 2 == 0) & (F.col("k") == 2), F.lit(0)
     ).otherwise(F.col("k"))
-    ts = F.to_timestamp(F.lit(CAPTURE_EPOCH)) + F.make_interval(
-        secs=F.col("doc_id") + F.col("k") * CAPTURE_GAP_S
-    )
-    return base.select(
-        "url",
-        "host",
-        ts.alias("ts"),
-        F.md5(F.concat("text", dk.cast("string"))).alias("digest"),
-        F.length("text").cast("long").alias("n_bytes"),
-    )
+    return synth_captures(docs, digest_k=dk, with_bytes=True)

@@ -232,7 +232,14 @@ def semdedup(
     cent_rows = sorted(
         centroid_vectors(emb, vec_col=vec_col).collect(), key=lambda r: r["cell"]
     )
-    assigned = assign_cells_mapside(emb, cent_rows, id_col=id_col, vec_col=vec_col)
+    # persisted because THREE branches read it (both pair-join sides +
+    # the final verdict join) — without the cache the corpus-wide scan +
+    # ncells-way argmax would run three times per action (same rule as
+    # dedup.filter_unseen_pruned's probed cache). Spark evicts it LRU
+    # after the query; long-lived pipelines can unpersist explicitly.
+    assigned = assign_cells_mapside(
+        emb, cent_rows, id_col=id_col, vec_col=vec_col
+    ).persist()
     a = assigned.select(
         F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
     )

@@ -1091,22 +1091,28 @@ base AS (
 caps AS (
   SELECT url, host, doc_id,
          TIMESTAMP '{epoch}' + to_seconds(doc_id + k * {gap}) AS ts,
-         md5(text || CAST(k AS VARCHAR)) AS digest
+         md5(text || CAST({dk} AS VARCHAR)) AS digest{extra}
   FROM base, unnest([{ks}]) AS t(k)
 )"""
 
 
-def _capture_base() -> str:
+def _capture_base(dk: str = "k", with_bytes: bool = False) -> str:
+    """base/caps CTE pair for the closed-form multi-capture store
+    (twin of asof.synth_captures, same digest_k/with_bytes knobs) —
+    shared by the as-of, cdx-closest and revisit oracles."""
     from crawler_spark.operators.asof import (
         CAPTURE_EPOCH,
         CAPTURE_GAP_S,
         CAPTURES_PER_URL,
     )
 
+    extra = ",\n         CAST(length(text) AS BIGINT) AS n_bytes" if with_bytes else ""
     return _CAPTURE_BASE.format(
         epoch=CAPTURE_EPOCH,
         gap=CAPTURE_GAP_S,
         ks=", ".join(str(k) for k in range(CAPTURES_PER_URL)),
+        dk=dk,
+        extra=extra,
     )
 
 
@@ -1546,15 +1552,15 @@ resolved AS (
   SELECT url, cur AS final_url, hops FROM walk
   WHERE cur NOT IN (SELECT src FROM e)
 )
-SELECT hops, is_cycle, CAST(count(*) AS BIGINT) AS n_urls,
+SELECT hops, unresolved, CAST(count(*) AS BIGINT) AS n_urls,
        CAST(count(DISTINCT final_url) AS BIGINT) AS n_targets
 FROM (
-  SELECT url, final_url, hops, false AS is_cycle FROM resolved
+  SELECT url, final_url, hops, false AS unresolved FROM resolved
   UNION ALL
-  SELECT src AS url, NULL AS final_url, NULL AS hops, true AS is_cycle
+  SELECT src AS url, NULL AS final_url, NULL AS hops, true AS unresolved
   FROM e WHERE src NOT IN (SELECT url FROM resolved)
 )
-GROUP BY hops, is_cycle"""
+GROUP BY hops, unresolved"""
 
 
 def sql_sitemap_parse() -> str:
@@ -1577,7 +1583,12 @@ def sql_mix_plan() -> str:
     """Twin of operators/mixing.mix_over_documents: same integer-ppm
     arithmetic, weights normalized with the remainder pinned to the
     lexicographically-first stratum."""
-    from crawler_spark.operators.mixing import MIX_BUDGET_TOKENS, PPM as MPPM
+    from crawler_spark.operators.mixing import (
+        MIX_BUDGET_TOKENS,
+        PPM as MPPM,
+        TAIL_SHIFT as SHIFT,
+        TAIL_SHIFT_ABOVE as SHIFT_ABOVE,
+    )
 
     b = MIX_BUDGET_TOKENS
     return f"""
@@ -1602,24 +1613,31 @@ wts AS (
   FROM raw
 ),
 j AS (
-  SELECT s.stratum, s.n_docs, s.n_tokens,
+  SELECT coalesce(s.stratum, w.stratum) AS stratum,
+         CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
+         CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
          CAST(coalesce(w.weight_ppm, 0) AS BIGINT) AS weight_ppm,
-         CAST(({b} * coalesce(w.weight_ppm, 0)) // {MPPM} AS BIGINT)
-           AS desired_tokens
-  FROM stats s LEFT JOIN wts w USING (stratum)
+         CAST(({b} // {MPPM}) * coalesce(w.weight_ppm, 0)
+              + (({b} % {MPPM}) * coalesce(w.weight_ppm, 0)) // {MPPM}
+              AS BIGINT) AS desired_tokens
+  FROM stats s FULL OUTER JOIN wts w ON s.stratum = w.stratum
 ),
 p AS (
   SELECT *,
          CAST(CASE WHEN n_tokens > 0 THEN desired_tokens // n_tokens
               ELSE 0 END AS BIGINT) AS full_epochs,
-         CAST(CASE WHEN n_tokens > 0
-              THEN ((desired_tokens % n_tokens) * {MPPM}) // n_tokens
-              ELSE 0 END AS BIGINT) AS tail_rate_ppm
+         CAST(CASE WHEN n_tokens <= 0 THEN 0
+              WHEN n_tokens > {SHIFT_ABOVE}
+              THEN (((desired_tokens % n_tokens) >> {SHIFT}) * {MPPM})
+                   // (n_tokens >> {SHIFT})
+              ELSE ((desired_tokens % n_tokens) * {MPPM}) // n_tokens
+              END AS BIGINT) AS tail_rate_ppm
   FROM j
 )
 SELECT stratum, n_docs, n_tokens, weight_ppm, desired_tokens,
        full_epochs, tail_rate_ppm,
-       CAST(n_tokens * full_epochs + (n_tokens * tail_rate_ppm) // {MPPM}
+       CAST(n_tokens * full_epochs + (n_tokens // {MPPM}) * tail_rate_ppm
+            + ((n_tokens % {MPPM}) * tail_rate_ppm) // {MPPM}
             AS BIGINT) AS planned_tokens
 FROM p"""
 
@@ -1649,23 +1667,13 @@ FROM assigned s LEFT JOIN dropped d USING (vec_id)"""
 
 
 def _revisit_caps_cte() -> str:
-    """Closed-form capture store WITH planted revisits (twin of
+    """Capture store WITH planted revisits (twin of
     operators/revisit.synth_revisit_captures): even docs' k=2 capture
-    repeats the k=0 digest."""
-    from crawler_spark.operators.asof import CAPTURE_EPOCH, CAPTURE_GAP_S
-
-    return f"""
-caps AS (
-  SELECT 'https://' || source || '.example.com/p/' || CAST(doc_id AS VARCHAR)
-           AS url,
-         source || '.example.com' AS host,
-         TIMESTAMP '{CAPTURE_EPOCH}' + to_seconds(doc_id + k * {CAPTURE_GAP_S})
-           AS ts,
-         md5(text || CAST(CASE WHEN doc_id % 2 = 0 AND k = 2 THEN 0 ELSE k END
-                          AS VARCHAR)) AS digest,
-         CAST(length(text) AS BIGINT) AS n_bytes
-  FROM documents, unnest([0, 1, 2]) AS t(k)
-)"""
+    repeats the k=0 digest. Delegates to the shared _capture_base."""
+    return _capture_base(
+        dk="CASE WHEN doc_id % 2 = 0 AND k = 2 THEN 0 ELSE k END",
+        with_bytes=True,
+    )
 
 
 def sql_revisit_rollup() -> str:

@@ -30,8 +30,21 @@ from pyspark.sql import functions as F
 SITEMAP_DEFAULT_PRIORITY_PPM = 500_000  # spec: "default priority is 0.5"
 
 
+def _xml_unescape(col: F.Column) -> F.Column:
+    """Decode the five predefined XML entities. The spec REQUIRES '&'
+    in a loc to be written '&amp;', so skipping this step would send
+    the frontier literal '&amp;' URLs. '&amp;' decodes LAST so
+    '&amp;lt;' correctly becomes the literal '&lt;'."""
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def _frag_field(tag: str) -> F.Column:
-    return F.regexp_extract("_frag", rf"<{tag}>\s*([^<]+?)\s*</{tag}>", 1)
+    return _xml_unescape(
+        F.regexp_extract("_frag", rf"<{tag}>\s*([^<]+?)\s*</{tag}>", 1)
+    )
 
 
 def parse_sitemaps(
@@ -54,8 +67,15 @@ def parse_sitemaps(
             F.when(_frag_field("lastmod") == "", None)
             .otherwise(_frag_field("lastmod"))
             .alias("lastmod"),
-            F.when(pr == "", F.lit(SITEMAP_DEFAULT_PRIORITY_PPM))
-            .otherwise(F.round(pr.cast("double") * 1_000_000).cast("long"))
+            # rlike guard keeps the cast lazy: a present-but-non-numeric
+            # priority (or a missing one) falls back to the spec default
+            # instead of NULLing (or, under ANSI, crashing) the row —
+            # tolerant-reader contract
+            F.when(
+                pr.rlike(r"^[0-9]*\.?[0-9]+$"),
+                F.round(pr.cast("double") * 1_000_000).cast("long"),
+            )
+            .otherwise(F.lit(SITEMAP_DEFAULT_PRIORITY_PPM))
             .alias("priority_ppm"),
         )
         .where(F.col("loc") != "")

@@ -47,3 +47,25 @@ def test_synth_weights_pin_to_one(spark):
     plan = mix_allocation(stats, synth_mix_targets(stats), 500_000).collect()
     for r in plan:
         assert 0 <= r["desired_tokens"] - r["planned_tokens"] <= max(1, r["n_tokens"] // PPM + 1)
+
+
+@pytest.mark.spark
+def test_target_only_stratum_and_petascale_overflow(spark):
+    """A target naming a stratum the corpus lacks stays a visible row;
+    petascale token counts (r*PPM would pass 2^63) run the shifted
+    tail-rate branch instead of overflowing, within 1 ppm of exact."""
+    stats = spark.createDataFrame(
+        [("cc", 1_000, 5_000_000_000_000_000)],  # 5e15 tokens
+        "stratum string, n_docs long, n_tokens long",
+    )
+    targets = spark.createDataFrame(
+        [("cc", 400_000), ("books", 600_000)], "stratum string, weight_ppm long"
+    )
+    got = {r["stratum"]: r for r in mix_allocation(stats, targets, 10_000_000_000_000_000).collect()}
+    b = got["books"]  # corpus lacks it: zero stats, desired visible
+    assert (b["n_docs"], b["n_tokens"], b["desired_tokens"]) == (0, 0, 6_000_000_000_000_000)
+    assert (b["full_epochs"], b["tail_rate_ppm"], b["planned_tokens"]) == (0, 0, 0)
+    c = got["cc"]  # exact rate is 4e15/5e15 = 800000 ppm
+    assert c["desired_tokens"] == 4_000_000_000_000_000
+    assert abs(c["tail_rate_ppm"] - 800_000) <= 1
+    assert 0 <= c["desired_tokens"] - c["planned_tokens"] <= c["n_tokens"] // 1_000_000 + 1

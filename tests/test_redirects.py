@@ -22,7 +22,7 @@ def test_chains_cycles_and_hops(spark):
         ],
         "src string, dst string",
     )
-    got = {r["url"]: (r["final_url"], r["hops"], r["is_cycle"])
+    got = {r["url"]: (r["final_url"], r["hops"], r["unresolved"])
            for r in resolve_redirects(edges).collect()}
     assert got["a"] == ("T1", 3, False)
     assert got["b"] == ("T1", 2, False)
@@ -57,7 +57,7 @@ def test_synth_matches_sequential_walk(spark):
             cur, hops = edges[cur], hops + 1
         return (None, None, True) if cur in edges else (cur, hops, False)
 
-    got = {r["url"]: (r["final_url"], r["hops"], r["is_cycle"])
+    got = {r["url"]: (r["final_url"], r["hops"], r["unresolved"])
            for r in resolve_redirects(synth_redirect_edges(docs)).collect()}
     assert set(got) == set(edges)
     for u in edges:

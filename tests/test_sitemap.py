@@ -17,6 +17,7 @@ XML = """<?xml version="1.0" encoding="UTF-8"?>
 <url><loc> https://h.example/a </loc><lastmod>2026-05-01</lastmod><priority>0.7</priority></url>
 <url><loc>https://h.example/b</loc></url>
 <url><priority>0.9</priority></url>
+<url><loc>https://h.example/p?a=1&amp;b=2</loc><priority>high</priority></url>
 </urlset>"""
 
 IDX = """<sitemapindex><sitemap><loc>https://h.example/s1.xml.gz</loc>
@@ -34,8 +35,11 @@ def test_parse_urlset(spark):
     # missing lastmod -> NULL, missing priority -> spec default
     assert got["https://h.example/b"]["lastmod"] is None
     assert got["https://h.example/b"]["priority_ppm"] == SITEMAP_DEFAULT_PRIORITY_PPM
+    # XML entities decoded; junk priority falls back to the default
+    e = got["https://h.example/p?a=1&b=2"]
+    assert e["priority_ppm"] == SITEMAP_DEFAULT_PRIORITY_PPM
     # loc-less entry dropped
-    assert len(got) == 2
+    assert len(got) == 3
 
 
 @pytest.mark.spark
