@@ -925,6 +925,18 @@ def _q_sitemap_recrawl(spark, sf_dir):
     )
 
 
+
+def _q_shuffle_layout(spark, sf_dir):
+    """Deterministic seeded corpus shuffle (operators/shardshuffle.py):
+    md5-keyed order -> hex-digit shard map (map-side) -> per-shard
+    row_number window — the reproducible training-data layout, a pure
+    function of (corpus, seed), invariant to cluster size and physical
+    partitioning. Rolled up per shard with a permutation checksum."""
+    from crawler_spark.operators.shardshuffle import shuffle_over_documents
+
+    return shuffle_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1031,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "revisit_rollup": _q_revisit_rollup,
         "sitemap_recrawl": _q_sitemap_recrawl,
+        "shuffle_layout": _q_shuffle_layout,
     }
 
 
@@ -1176,4 +1189,5 @@ GROUP BY source""",
         "semdedup": SG.sql_semdedup(),
         "revisit_rollup": SG.sql_revisit_rollup(),
         "sitemap_recrawl": SG.sql_sitemap_recrawl(),
+        "shuffle_layout": SG.sql_shuffle_layout(),
     }

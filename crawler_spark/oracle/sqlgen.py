@@ -1720,3 +1720,27 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_listed,
        CAST(sum(CASE WHEN lastmod IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_unknown
 FROM j GROUP BY host"""
+
+
+def sql_shuffle_layout() -> str:
+    """Twin of operators/shardshuffle.shuffle_over_documents: md5-keyed
+    deterministic shuffle, same hex-digit shard map."""
+    from crawler_spark.operators.shardshuffle import HEX, SHUFFLE_SEED
+
+    k = f"md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))"
+    return f"""
+WITH lay AS (
+  SELECT doc_id, {k} AS k,
+         CAST(instr('{HEX}', substr({k}, 1, 1)) - 1 AS INTEGER) AS shard
+  FROM documents
+),
+p AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+              AS BIGINT) AS pos
+  FROM lay
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(pos * doc_id) AS BIGINT) AS pos_dot_id,
+       CAST(min(doc_id) AS BIGINT) AS first_id
+FROM p GROUP BY shard"""
