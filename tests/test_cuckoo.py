@@ -146,3 +146,37 @@ def test_filter_unseen_exactness(spark, seen, filters):
     want = {r["surt"] for r in cand.join(seen, "surt", "left_anti").collect()}
     assert got == want
     assert len(want) == 6000
+
+
+@pytest.mark.spark
+def test_crawl_retraction_flow(spark):
+    """The crawl-shaped delete story end-to-end: URLs seen in crawl 1,
+    a failed-fetch subset retracted, crawl 2's candidates re-admit
+    exactly the retracted + brand-new URLs — set-exact against the
+    anti-join truth, with the filter maintained incrementally (build →
+    delete → update), never rebuilt."""
+    crawl1 = _keys(spark, 0, 3000)
+    f = build_cuckoo(crawl1, cfg=CFG, headroom=4)
+    # 300 fetches failed permanently: retract so the next crawl retries
+    failed = crawl1.where(F.xxhash64("surt") % 10 == 3).cache()
+    n_failed = failed.count()
+    assert n_failed > 100
+    f = delete_cuckoo(f, failed, cfg=CFG)
+    seen = crawl1.join(failed, "surt", "left_anti").cache()
+    # crawl 2 discovers: overlap with seen, the failed set, fresh URLs
+    cand = _keys(spark, 2000, 4000)
+    got = {r["surt"] for r in filter_unseen_cuckoo(cand, seen, f, cfg=CFG).collect()}
+    want = {r["surt"] for r in cand.join(seen, "surt", "left_anti").collect()}
+    assert got == want
+    # fold crawl 2's admissions in incrementally and verify no false
+    # negatives on the union
+    f2 = update_cuckoo(f, cand.join(seen, "surt", "left_anti"), cfg=CFG)
+    all_seen = seen.unionByName(cand).distinct()
+    assert (
+        probe_cuckoo_broadcast(all_seen, f2, cfg=CFG)
+        .where(~F.col("_maybe_seen"))
+        .count()
+        == 0
+    )
+    failed.unpersist()
+    seen.unpersist()
