@@ -937,6 +937,18 @@ def _q_shuffle_layout(spark, sf_dir):
     return shuffle_over_documents(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_main_text(spark, sf_dir):
+    """jusText-style main-content extraction (operators/justext.py):
+    per-block stopword-density classing (pure JVM map), the near-good
+    neighbor promotion as one lag/lead window per document, reassembly
+    bounded by single-doc size — fetch-time boilerplate removal with
+    no corpus statistics."""
+    from crawler_spark.operators.justext import extract_main_text
+
+    return extract_main_text(_t(spark, sf_dir, "documents"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1044,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_rollup": _q_revisit_rollup,
         "sitemap_recrawl": _q_sitemap_recrawl,
         "shuffle_layout": _q_shuffle_layout,
+        "main_text": _q_main_text,
     }
 
 
@@ -1190,4 +1203,5 @@ GROUP BY source""",
         "revisit_rollup": SG.sql_revisit_rollup(),
         "sitemap_recrawl": SG.sql_sitemap_recrawl(),
         "shuffle_layout": SG.sql_shuffle_layout(),
+        "main_text": SG.sql_main_text(),
     }

@@ -1744,3 +1744,55 @@ SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(pos * doc_id) AS BIGINT) AS pos_dot_id,
        CAST(min(doc_id) AS BIGINT) AS first_id
 FROM p GROUP BY shard"""
+
+
+def sql_main_text() -> str:
+    """Twin of operators/justext.extract_main_text: same fixed-block
+    segmentation, stopword density gate, and lag/lead context rule."""
+    from crawler_spark.operators.justext import (
+        BLOCK_WORDS as BW,
+        GOOD_STOP_PM as GPM,
+        LEN_LOW as LL,
+        STOPWORDS,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         array_to_string(ws[(i * {BW} + 1):(i * {BW} + {BW})], ' ') AS block
+  FROM w0, unnest(range(CAST(ceil(len(ws) / {BW}.0) AS BIGINT))) AS t(i)
+),
+c AS (
+  SELECT doc_id, pos, block,
+         len(string_split(block, ' ')) AS n_words,
+         len(list_filter(string_split(block, ' '),
+             w -> list_contains([{sw}], w))) AS n_stop
+  FROM b
+),
+d AS (
+  SELECT doc_id, pos, block, CAST(n_words AS INTEGER) AS n_words,
+         CAST((n_stop * 1000000) // n_words AS BIGINT) AS stop_pm,
+         CASE WHEN n_words < {LL} THEN 'short'
+              WHEN (n_stop * 1000000) // n_words >= {GPM} THEN 'good'
+              ELSE 'bad' END AS cls
+  FROM c
+),
+e AS (
+  SELECT *, CASE WHEN cls = 'short' THEN
+              CASE WHEN lag(cls) OVER w = 'good' OR lead(cls) OVER w = 'good'
+                   THEN 'good' ELSE 'bad' END
+            ELSE cls END AS final_cls
+  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN final_cls = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN final_cls = 'bad' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad,
+       CAST(sum(CASE WHEN cls = 'short' AND final_cls = 'good'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_promoted,
+       coalesce(string_agg(CASE WHEN final_cls = 'good' THEN block END,
+                           ' ' ORDER BY pos), '') AS main_text
+FROM e GROUP BY doc_id"""
