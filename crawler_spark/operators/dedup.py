@@ -74,9 +74,19 @@ def filter_unseen_pruned(
     key_col: str = "surt",
     cfg: EngineConfig = DEFAULT,
     total_bits: int | None = None,
+    probe=None,
 ) -> UnseenResult:
     """The frontier-loop variant of :func:`filter_unseen`: exact, with the
     seen side *pruned to Bloom-positive buckets* before the anti-join.
+
+    The unseen stage is filter-structure agnostic: any probe with the
+    maybe/definitely-new contract slots in via ``probe=`` (signature of
+    :func:`crawler_spark.operators.bloom.probe_blooms_broadcast`) — the
+    cuckoo form (operators/cuckoo.probe_cuckoo_broadcast, with its
+    filter table as ``blooms``) yields the identical exact unseen set
+    because correctness lives in the confirm join, not the filter. The
+    default is the Bloom pair with size-based broadcast/cogroup
+    selection below.
 
     ``seen`` must carry a ``bucket`` column (bloom.bucket_of, written
     bucket-sorted): the ``bucket IN (...)`` predicate pushes down to
@@ -98,14 +108,15 @@ def filter_unseen_pruned(
     # from the blooms snapshot meta when the caller has it (piggybacked on
     # the previous round's write Observation — zero jobs); the fallback is
     # a 1-row aggregate job over the (tiny, B-row) blooms table.
-    if total_bits is None:
-        total_bits = blooms.agg(F.sum("m")).first()[0] or 0
-    total_bytes = total_bits // 8
-    probe = (
-        probe_blooms_broadcast
-        if total_bytes <= cfg.bloom_broadcast_max_bytes
-        else probe_blooms
-    )
+    if probe is None:
+        if total_bits is None:
+            total_bits = blooms.agg(F.sum("m")).first()[0] or 0
+        total_bytes = total_bits // 8
+        probe = (
+            probe_blooms_broadcast
+            if total_bytes <= cfg.bloom_broadcast_max_bytes
+            else probe_blooms
+        )
     probed = probe(cand, blooms, key_col, cfg, bucket_out="bucket").persist()
     maybe_buckets = [
         r[0]

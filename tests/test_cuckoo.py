@@ -180,3 +180,30 @@ def test_crawl_retraction_flow(spark):
     )
     failed.unpersist()
     seen.unpersist()
+
+
+@pytest.mark.spark
+def test_pruned_unseen_stage_bloom_cuckoo_equivalence(spark, seen, filters):
+    """The frontier's bucket-pruned unseen stage is filter-structure
+    agnostic: swapping the cuckoo probe in via probe= yields the
+    IDENTICAL exact unseen set as the Bloom pair — correctness lives in
+    the confirm join, the filter only prices it."""
+    from crawler_spark.operators.bloom import bucket_of, build_blooms
+    from crawler_spark.operators.cuckoo import probe_cuckoo_broadcast
+    from crawler_spark.operators.dedup import filter_unseen_pruned
+
+    seen_b = seen.withColumn("bucket", bucket_of("surt", CFG))
+    cand = _keys(spark, 4500, 9000)
+    blooms = build_blooms(seen, cfg=CFG)
+    r_bloom = filter_unseen_pruned(cand, seen_b, blooms, cfg=CFG)
+    r_cuckoo = filter_unseen_pruned(
+        cand, seen_b, filters, cfg=CFG, probe=probe_cuckoo_broadcast
+    )
+    got_b = {r["surt"] for r in r_bloom.unseen.collect()}
+    got_c = {r["surt"] for r in r_cuckoo.unseen.collect()}
+    want = {r["surt"] for r in cand.join(seen, "surt", "left_anti").collect()}
+    assert got_b == want and got_c == want
+    # the cuckoo's 2^-13 FP rate prunes to fewer (or equal) buckets
+    assert set(r_cuckoo.maybe_buckets) <= set(range(CFG.num_host_buckets))
+    r_bloom.probed.unpersist()
+    r_cuckoo.probed.unpersist()

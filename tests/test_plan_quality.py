@@ -1,0 +1,53 @@
+"""Plan-quality lock: no unplanned nested-loop joins in driver queries.
+
+Every groupBy/join in the 77-query surface is supposed to be a hash
+aggregate or a hash join (broadcast or shuffle). A BroadcastNestedLoopJoin
+or CartesianProduct sneaking into a scale-path query is the classic
+silent 100x regression — this meta-test freezes the current (audited)
+plan shapes so a refactor cannot reintroduce one unnoticed.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+# Audited exceptions — every entry is a deliberately tiny or documented
+# non-scale side:
+#   cosine_topk           broadcast of the constant query set (|Q| rows)
+#   cosine_neardup_pairs  documented O(n^2) oracle baseline (VERDICT r2);
+#                         LSH/IVF/semdedup are the scale routes
+#   ann_ivf_topk          probe side: |queries| x ncells literal cross
+#   quantize_embeddings   crossJoin(broadcast(1-row per-dim max vector))
+#   mix_plan              crossJoin(broadcast(1-row weight total))
+ALLOWED_NESTED_LOOP = {
+    "cosine_topk",
+    "cosine_neardup_pairs",
+    "ann_ivf_topk",
+    "quantize_embeddings",
+    "mix_plan",
+}
+
+
+@pytest.mark.spark
+def test_no_unplanned_nested_loop_joins(spark):
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    violations = {}
+    for name, fn in E.queries().items():
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        plan = buf.getvalue()
+        hits = [
+            k
+            for k in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            if k in plan
+        ]
+        if hits and name not in ALLOWED_NESTED_LOOP:
+            violations[name] = hits
+    assert not violations, f"unplanned nested-loop joins: {violations}"
