@@ -949,6 +949,21 @@ def _q_main_text(spark, sf_dir):
     return extract_main_text(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_dupe_census(spark, sf_dir):
+    """Per-source duplication census (operators/components.py): cluster
+    labels -> one join + partial-agg rollup with the soft-dedup kept
+    mass (dedup-then-upweight) — the corpus-health report C4/RefinedWeb
+    publish per source."""
+    from crawler_spark.operators.components import (
+        dedup_clusters,
+        duplication_census,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return duplication_census(d, dedup_clusters(d, TD.minhash_lsh_pairs(d)))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1057,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_recrawl": _q_sitemap_recrawl,
         "shuffle_layout": _q_shuffle_layout,
         "main_text": _q_main_text,
+        "dupe_census": _q_dupe_census,
     }
 
 
@@ -1204,4 +1220,5 @@ GROUP BY source""",
         "sitemap_recrawl": SG.sql_sitemap_recrawl(),
         "shuffle_layout": SG.sql_shuffle_layout(),
         "main_text": SG.sql_main_text(),
+        "dupe_census": SG.sql_dupe_census(),
     }

@@ -145,3 +145,36 @@ def dedup_clusters(
         "cluster_size",
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+def duplication_census(
+    docs: DataFrame, clusters: DataFrame, stratum_col: str = "source"
+) -> DataFrame:
+    """Per-stratum corpus-health ledger over the cluster assignment —
+    the duplication reporting every published pipeline does (C4,
+    RefinedWeb report removal rates per source) plus the soft-dedup
+    mass: ``kept_mass`` sums cluster_size over this stratum's CANONICAL
+    docs, i.e. how many corpus documents the stratum's kept set
+    represents if duplicates are dropped but their sampling mass is
+    kept (the dedup-then-upweight alternative to hard dropping; a
+    cross-source cluster credits its whole mass to the canonical doc's
+    stratum). One join + one partial-agg rollup over the (already
+    cluster-labelled) corpus."""
+    j = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), stratum_col
+    ).join(clusters, "doc_id")
+    return (
+        j.groupBy(stratum_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_canonical").cast("long")).alias("n_canonical"),
+            F.sum(
+                F.when(F.col("is_canonical"), F.col("cluster_size")).otherwise(0)
+            ).alias("kept_mass"),
+            F.max("cluster_size").alias("max_cluster"),
+        )
+        .withColumn(
+            "dup_rate_ppm",
+            F.expr("((n_docs - n_canonical) * 1000000) div n_docs"),
+        )
+    )

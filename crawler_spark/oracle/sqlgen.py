@@ -190,11 +190,10 @@ FROM bt a JOIN bt b
  AND a.doc_id < b.doc_id"""
 
 
-def sql_dedup_clusters() -> str:
-    """Duplicate clusters over the MinHash-LSH candidate graph: component
-    label = min reachable doc_id, via a recursive min-reachability CTE —
-    the declarative twin of the Spark side's large-star/small-star
-    contraction (operators/components.py)."""
+def _cluster_label_ctes() -> str:
+    """Everything through lab/sz: recursive min-reachability cluster
+    labels over the MinHash-LSH candidate graph — shared by the
+    dedup_clusters and dupe_census oracles."""
     sig_cte = _minhash_sig_cte(NGRAM_N, MINHASH_HASHES).replace(
         "WITH ", "WITH RECURSIVE ", 1
     )
@@ -219,10 +218,39 @@ lab AS (
   FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
 ),
 sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-       FROM lab GROUP BY cluster_id)
+       FROM lab GROUP BY cluster_id)"""
+
+
+def sql_dedup_clusters() -> str:
+    """Duplicate clusters over the MinHash-LSH candidate graph: component
+    label = min reachable doc_id, via a recursive min-reachability CTE —
+    the declarative twin of the Spark side's large-star/small-star
+    contraction (operators/components.py)."""
+    return f"""{_cluster_label_ctes()}
 SELECT l.doc_id, l.cluster_id, sz.cluster_size,
        l.doc_id = l.cluster_id AS is_canonical
 FROM lab l JOIN sz USING (cluster_id)"""
+
+
+def sql_dupe_census() -> str:
+    """Twin of operators/components.duplication_census."""
+    return f"""{_cluster_label_ctes()},
+cl AS (
+  SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+         l.doc_id = l.cluster_id AS is_canonical
+  FROM lab l JOIN sz USING (cluster_id)
+),
+j AS (SELECT d.source, c.* FROM documents d JOIN cl c USING (doc_id))
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical,
+       CAST(sum(CASE WHEN is_canonical THEN cluster_size ELSE 0 END)
+            AS BIGINT) AS kept_mass,
+       CAST(max(cluster_size) AS BIGINT) AS max_cluster,
+       CAST(((CAST(count(*) AS BIGINT)
+         - sum(CASE WHEN is_canonical THEN 1 ELSE 0 END)) * 1000000)
+         // count(*) AS BIGINT) AS dup_rate_ppm
+FROM j GROUP BY source"""
 
 
 def sql_simhash() -> str:
