@@ -964,6 +964,26 @@ def _q_dupe_census(spark, sf_dir):
     return duplication_census(d, dedup_clusters(d, TD.minhash_lsh_pairs(d)))
 
 
+
+def _q_politeness_audit(spark, sf_dir):
+    """Read-side politeness audit (operators/crawlreport.py): fetch-log
+    inter-arrival gaps per host (one lag window) vs the advertised
+    crawl-delay (broadcast dim) -> violations + exact ppm compliance —
+    the budget operator prevents, this proves."""
+    from crawler_spark.operators.crawlreport import (
+        politeness_compliance,
+        synth_crawl_delays,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    fetches = e.select(
+        F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("host"),
+        "event_id",
+        "ts",
+    )
+    return politeness_compliance(fetches, synth_crawl_delays(fetches))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1073,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_layout": _q_shuffle_layout,
         "main_text": _q_main_text,
         "dupe_census": _q_dupe_census,
+        "politeness_audit": _q_politeness_audit,
     }
 
 
@@ -1221,4 +1242,5 @@ GROUP BY source""",
         "shuffle_layout": SG.sql_shuffle_layout(),
         "main_text": SG.sql_main_text(),
         "dupe_census": SG.sql_dupe_census(),
+        "politeness_audit": SG.sql_politeness_audit(),
     }

@@ -87,3 +87,68 @@ def synth_page_stats(docs: DataFrame) -> DataFrame:
         .alias("status"),
         F.col("n_chars").alias("n_bytes"),
     )
+
+
+# ---------------------------------------------------- politeness audit --
+
+COMPLIANCE_PPM = 1_000_000
+
+
+def politeness_compliance(
+    fetches: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Read-side politeness audit: the budget operator PREVENTS
+    violations, this PROVES conformance from the fetch log — the number
+    an ops review or a webmaster complaint asks for.
+
+    ``fetches(host, event_id, ts)`` ⋈ ``delays(host, crawl_delay_s)``
+    (broadcast dim) → per host: fetches, measured intervals, intervals
+    shorter than the advertised crawl-delay, the tightest gap observed,
+    and an exact ppm compliance rate. One lag window per host (ordered
+    by (ts, event_id) so duplicate timestamps stay deterministic —
+    skew bound = hottest host's fetch count, same as sessionize);
+    integer epoch-microsecond arithmetic throughout."""
+    from pyspark.sql import Window
+
+    f = fetches.select(
+        F.col(host_col).alias("host"),
+        "event_id",
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    )
+    w = Window.partitionBy("host").orderBy("_us", "event_id")
+    g = f.withColumn("_gap_us", F.col("_us") - F.lag("_us").over(w))
+    j = g.join(F.broadcast(delays.select("host", "crawl_delay_s")), "host")
+    viol = (F.col("_gap_us") < F.col("crawl_delay_s") * 1_000_000).cast("long")
+    return (
+        j.groupBy("host", "crawl_delay_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.count("_gap_us").alias("n_intervals"),
+            F.sum(F.when(F.col("_gap_us").isNotNull(), viol).otherwise(0)).alias(
+                "n_violations"
+            ),
+            F.min("_gap_us").alias("min_gap_us"),
+        )
+        .withColumn(
+            "compliance_ppm",
+            F.expr(
+                f"CASE WHEN n_intervals > 0 THEN "
+                f"((n_intervals - n_violations) * {COMPLIANCE_PPM}) div n_intervals "
+                f"ELSE CAST({COMPLIANCE_PPM} AS BIGINT) END"
+            ),
+        )
+    )
+
+
+def synth_crawl_delays(fetches: DataFrame, host_col: str = "host") -> DataFrame:
+    """Closed-form per-host advertised delay: the trailing digits of the
+    host name pick 1..5 seconds — same derivation both engines run."""
+    g = F.regexp_extract("host", r"(\d+)$", 1).cast("long")
+    return (
+        fetches.select(F.col(host_col).alias("host"))
+        .distinct()
+        .select("host", (g % 5 + 1).alias("crawl_delay_s"))
+    )

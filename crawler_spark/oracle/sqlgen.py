@@ -1824,3 +1824,35 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
        coalesce(string_agg(CASE WHEN final_cls = 'good' THEN block END,
                            ' ' ORDER BY pos), '') AS main_text
 FROM e GROUP BY doc_id"""
+
+
+def sql_politeness_audit() -> str:
+    """Twin of operators/crawlreport.politeness_compliance over the
+    per-user synthetic host mapping and closed-form crawl delays."""
+    viol = ("CASE WHEN gap_us IS NOT NULL AND gap_us < crawl_delay_s * 1000000 "
+            "THEN 1 ELSE 0 END")
+    return f"""
+WITH f AS (
+  SELECT 'h' || CAST(user_id AS VARCHAR) AS host, event_id, epoch_us(ts) AS us
+  FROM events
+),
+g AS (
+  SELECT host, event_id, us,
+         us - lag(us) OVER (PARTITION BY host ORDER BY us, event_id) AS gap_us
+  FROM f
+),
+d AS (
+  SELECT host,
+         CAST(CAST(regexp_extract(host, '(\\d+)$', 1) AS BIGINT) % 5 + 1
+              AS BIGINT) AS crawl_delay_s
+  FROM (SELECT DISTINCT host FROM f)
+),
+j AS (SELECT g.*, d.crawl_delay_s FROM g JOIN d USING (host))
+SELECT host, crawl_delay_s, CAST(count(*) AS BIGINT) AS n_fetches,
+       CAST(count(gap_us) AS BIGINT) AS n_intervals,
+       CAST(sum({viol}) AS BIGINT) AS n_violations,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(CASE WHEN count(gap_us) > 0
+            THEN ((count(gap_us) - sum({viol})) * 1000000) // count(gap_us)
+            ELSE 1000000 END AS BIGINT) AS compliance_ppm
+FROM j GROUP BY host, crawl_delay_s"""
