@@ -984,6 +984,17 @@ def _q_politeness_audit(spark, sf_dir):
     return politeness_compliance(fetches, synth_crawl_delays(fetches))
 
 
+
+def _q_mix_execute(spark, sf_dir):
+    """Mix-plan execution (operators/mixing.py): full-epoch replication
+    via explode(sequence) plus a portable seeded-hash tail sample —
+    deterministic, RNG-free, crash-rerun-identical; per-stratum
+    achieved-vs-planned ledger closes the mixing loop."""
+    from crawler_spark.operators.mixing import mix_execute_over_documents
+
+    return mix_execute_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1094,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_text": _q_main_text,
         "dupe_census": _q_dupe_census,
         "politeness_audit": _q_politeness_audit,
+        "mix_execute": _q_mix_execute,
     }
 
 
@@ -1243,4 +1255,5 @@ GROUP BY source""",
         "main_text": SG.sql_main_text(),
         "dupe_census": SG.sql_dupe_census(),
         "politeness_audit": SG.sql_politeness_audit(),
+        "mix_execute": SG.sql_mix_execute(),
     }

@@ -152,3 +152,82 @@ def mix_over_documents(docs: DataFrame) -> DataFrame:
     """Driver query: stats pass → closed-form targets → exact plan."""
     stats = stratum_token_stats(docs)
     return mix_allocation(stats, synth_mix_targets(stats), MIX_BUDGET_TOKENS)
+
+
+# ------------------------------------------------------ plan execution --
+
+HEX = "0123456789abcdef"
+HASH_SPACE = 16 ** 6  # 6 hex digits of md5 → uniform [0, 16^6)
+
+
+def _doc_hash_u(seed: str, id_col) -> F.Column:
+    """Portable uniform hash in [0, 16^6): 6 md5 hex digits decoded by
+    instr arithmetic — both engines compute it bit-identically (no
+    xxhash64 in DuckDB, no conv() needed)."""
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), id_col.cast("string")))
+    v = F.lit(0)
+    for i in range(6):
+        v = v * 16 + (F.instr(F.lit(HEX), F.substring(h, i + 1, 1)) - 1)
+    return v.cast("long")
+
+
+def execute_mix(
+    docs: DataFrame,
+    plan: DataFrame,
+    seed: str,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Run the plan: every doc is emitted ``full_epochs`` times plus one
+    more copy iff its seeded hash clears the stratum's tail rate —
+    deterministic (pure function of corpus, plan, seed), no RNG state,
+    so a crash rerun emits the identical sample. Returns the per-stratum
+    execution ledger (docs emitted, tokens emitted, planned tokens) —
+    the achieved-vs-planned gap is the tail-rate sampling noise, which
+    shrinks as 1/√docs per stratum.
+
+    Scale shape: the plan is a broadcast dim; epoch replication is an
+    ``explode(sequence())`` map stage (rows out = corpus × epochs, the
+    output's inherent size); no shuffle until the ledger rollup."""
+    d = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col("doc_id"),
+        bpe_token_count(F.col("text")).alias("_tok"),
+    )
+    j = d.join(
+        F.broadcast(plan.select("stratum", "full_epochs", "tail_rate_ppm", "planned_tokens")),
+        "stratum",
+    )
+    take_tail = (
+        _doc_hash_u(seed, F.col("doc_id")) * PPM
+        < F.col("tail_rate_ppm") * F.lit(HASH_SPACE)
+    )
+    copies = (F.col("full_epochs") + take_tail.cast("long")).cast("int")
+    emitted = j.where(copies > 0).select(
+        "stratum", "doc_id", "_tok", F.explode(F.sequence(F.lit(1), copies)).alias("_c")
+    )
+    ledger = emitted.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.sum("_tok").alias("tokens_emitted"),
+    )
+    # plan LEFT JOIN ledger (ledger broadcast): zero-emission strata stay
+    # visible; a right join couldn't broadcast-build its preserved side
+    return (
+        plan.select("stratum", "planned_tokens")
+        .join(F.broadcast(ledger), "stratum", "left")
+        .select(
+            "stratum",
+            F.coalesce("n_emitted", F.lit(0)).alias("n_emitted"),
+            F.coalesce("tokens_emitted", F.lit(0)).alias("tokens_emitted"),
+            "planned_tokens",
+        )
+    )
+
+
+MIX_SEED = "mix-r3"
+
+
+def mix_execute_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: plan then execute — the full mixing loop."""
+    stats = stratum_token_stats(docs)
+    plan = mix_allocation(stats, synth_mix_targets(stats), MIX_BUDGET_TOKENS)
+    return execute_mix(docs, plan, MIX_SEED)

@@ -1607,10 +1607,9 @@ SELECT source || '.example.com' AS host,
 FROM documents"""
 
 
-def sql_mix_plan() -> str:
-    """Twin of operators/mixing.mix_over_documents: same integer-ppm
-    arithmetic, weights normalized with the remainder pinned to the
-    lexicographically-first stratum."""
+def _mix_plan_ctes() -> str:
+    """stats→p CTE chain of the mix plan — shared by the plan and
+    execution oracles."""
     from crawler_spark.operators.mixing import (
         MIX_BUDGET_TOKENS,
         PPM as MPPM,
@@ -1620,7 +1619,7 @@ def sql_mix_plan() -> str:
 
     b = MIX_BUDGET_TOKENS
     return f"""
-WITH stats AS (
+stats AS (
   SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
            AS n_tokens
@@ -1661,7 +1660,17 @@ p AS (
               ELSE ((desired_tokens % n_tokens) * {MPPM}) // n_tokens
               END AS BIGINT) AS tail_rate_ppm
   FROM j
-)
+)"""
+
+
+def sql_mix_plan() -> str:
+    """Twin of operators/mixing.mix_over_documents: same integer-ppm
+    arithmetic, weights normalized with the remainder pinned to the
+    lexicographically-first stratum."""
+    from crawler_spark.operators.mixing import PPM as MPPM
+
+    return f"""
+WITH {_mix_plan_ctes()}
 SELECT stratum, n_docs, n_tokens, weight_ppm, desired_tokens,
        full_epochs, tail_rate_ppm,
        CAST(n_tokens * full_epochs + (n_tokens // {MPPM}) * tail_rate_ppm
@@ -1856,3 +1865,50 @@ SELECT host, crawl_delay_s, CAST(count(*) AS BIGINT) AS n_fetches,
             THEN ((count(gap_us) - sum({viol})) * 1000000) // count(gap_us)
             ELSE 1000000 END AS BIGINT) AS compliance_ppm
 FROM j GROUP BY host, crawl_delay_s"""
+
+
+def sql_mix_execute() -> str:
+    """Twin of operators/mixing.mix_execute_over_documents: the SQL side
+    multiplies by the copy count instead of exploding — same numbers."""
+    from crawler_spark.operators.mixing import (
+        HASH_SPACE,
+        HEX as MHEX,
+        MIX_SEED,
+        PPM as MPPM,
+    )
+
+    h = f"md5('{MIX_SEED}:' || CAST(doc_id AS VARCHAR))"
+    v = "0"
+    for i in range(6):
+        v = f"({v}) * 16 + (instr('{MHEX}', substr({h}, {i + 1}, 1)) - 1)"
+    return f"""
+WITH {_mix_plan_ctes()},
+plan2 AS (
+  SELECT stratum, full_epochs, tail_rate_ppm,
+         CAST(n_tokens * full_epochs + (n_tokens // {MPPM}) * tail_rate_ppm
+              + ((n_tokens % {MPPM}) * tail_rate_ppm) // {MPPM}
+              AS BIGINT) AS planned_tokens
+  FROM p
+),
+doc AS (
+  SELECT source AS stratum, doc_id,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS tok,
+         CAST({v} AS BIGINT) AS hu
+  FROM documents
+),
+c AS (
+  SELECT d.stratum, d.tok,
+         p2.full_epochs
+         + CASE WHEN d.hu * {MPPM} < p2.tail_rate_ppm * {HASH_SPACE}
+                THEN 1 ELSE 0 END AS copies
+  FROM doc d JOIN plan2 p2 USING (stratum)
+),
+e AS (
+  SELECT stratum, CAST(sum(copies) AS BIGINT) AS n_emitted,
+         CAST(sum(tok * copies) AS BIGINT) AS tokens_emitted
+  FROM c WHERE copies > 0 GROUP BY stratum
+)
+SELECT p2.stratum, CAST(coalesce(e.n_emitted, 0) AS BIGINT) AS n_emitted,
+       CAST(coalesce(e.tokens_emitted, 0) AS BIGINT) AS tokens_emitted,
+       p2.planned_tokens
+FROM plan2 p2 LEFT JOIN e USING (stratum)"""
