@@ -49,3 +49,26 @@ def sql_h64(expr: str) -> str:
 
 def sql_h64_seeded(expr: str, seed: int) -> str:
     return sql_h64(f"('s{seed}:' || {expr})")
+
+
+# ---- portable (Spark ∧ DuckDB) seeded md5 keys ------------------------
+#
+# xxhash64 has no DuckDB twin, so cross-engine randomness derives from
+# md5(seed || ':' || id): `seeded_md5_key` is the string key (order by
+# it for deterministic shuffles), `hex_prefix_value` decodes its first
+# n hex digits into a uniform integer in [0, 16^n) with pure instr
+# arithmetic — both engines bit-identical. Shared by shardshuffle
+# (1-digit shard map) and mixing (6-digit tail-sample rate test).
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def seeded_md5_key(seed: str, id_col: Column) -> Column:
+    return F.md5(F.concat(F.lit(str(seed)), F.lit(":"), id_col.cast("string")))
+
+
+def hex_prefix_value(key: Column, ndigits: int) -> Column:
+    v = F.lit(0)
+    for i in range(ndigits):
+        v = v * 16 + (F.instr(F.lit(HEX_DIGITS), F.substring(key, i + 1, 1)) - 1)
+    return v.cast("long")

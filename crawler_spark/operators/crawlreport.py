@@ -120,8 +120,13 @@ def politeness_compliance(
     )
     w = Window.partitionBy("host").orderBy("_us", "event_id")
     g = f.withColumn("_gap_us", F.col("_us") - F.lag("_us").over(w))
-    j = g.join(F.broadcast(delays.select("host", "crawl_delay_s")), "host")
-    viol = (F.col("_gap_us") < F.col("crawl_delay_s") * 1_000_000).cast("long")
+    # LEFT join: a host with no advertised delay must stay IN the audit
+    # (vacuously compliant — nothing to violate), not silently vanish
+    j = g.join(F.broadcast(delays.select("host", "crawl_delay_s")), "host", "left")
+    viol = F.coalesce(
+        (F.col("_gap_us") < F.col("crawl_delay_s") * 1_000_000).cast("long"),
+        F.lit(0),
+    )
     return (
         j.groupBy("host", "crawl_delay_s")
         .agg(
@@ -146,9 +151,13 @@ def politeness_compliance(
 def synth_crawl_delays(fetches: DataFrame, host_col: str = "host") -> DataFrame:
     """Closed-form per-host advertised delay: the trailing digits of the
     host name pick 1..5 seconds — same derivation both engines run."""
+    # rlike guard keeps the cast lazy: a digit-less host gets the 1 s
+    # floor instead of an ANSI cast crash (same hazard class as the
+    # sitemap priority parse)
     g = F.regexp_extract("host", r"(\d+)$", 1).cast("long")
+    delay = F.when(F.col("host").rlike(r"\d$"), g % 5 + 1).otherwise(F.lit(1))
     return (
         fetches.select(F.col(host_col).alias("host"))
         .distinct()
-        .select("host", (g % 5 + 1).alias("crawl_delay_s"))
+        .select("host", delay.cast("long").alias("crawl_delay_s"))
     )

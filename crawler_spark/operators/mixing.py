@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.textstats import bpe_token_count
+from crawler_spark.functions.texthash import hex_prefix_value, seeded_md5_key
 
 PPM = 1_000_000
 # Past this stratum size, (r · PPM) no longer fits int64; the tail-rate
@@ -156,19 +157,13 @@ def mix_over_documents(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------ plan execution --
 
-HEX = "0123456789abcdef"
-HASH_SPACE = 16 ** 6  # 6 hex digits of md5 → uniform [0, 16^6)
+HASH_SPACE = 16 ** 6  # 6 hex digits of md5 -> uniform [0, 16^6)
 
 
 def _doc_hash_u(seed: str, id_col) -> F.Column:
-    """Portable uniform hash in [0, 16^6): 6 md5 hex digits decoded by
-    instr arithmetic — both engines compute it bit-identically (no
-    xxhash64 in DuckDB, no conv() needed)."""
-    h = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), id_col.cast("string")))
-    v = F.lit(0)
-    for i in range(6):
-        v = v * 16 + (F.instr(F.lit(HEX), F.substring(h, i + 1, 1)) - 1)
-    return v.cast("long")
+    """Portable uniform hash in [0, 16^6) via the shared seeded-md5
+    helpers (functions/texthash.py) - both engines bit-identical."""
+    return hex_prefix_value(seeded_md5_key(seed, id_col), 6)
 
 
 def execute_mix(

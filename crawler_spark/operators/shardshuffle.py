@@ -31,8 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.texthash import HEX_DIGITS, hex_prefix_value, seeded_md5_key
+
 SHUFFLE_SHARDS = 16  # one hex digit of the key; 256 via two digits
-HEX = "0123456789abcdef"
+HEX = HEX_DIGITS  # re-export for the oracle twin
 
 
 def seeded_shuffle(
@@ -40,9 +42,10 @@ def seeded_shuffle(
 ) -> DataFrame:
     """(id, …) → (id, shard, pos): the reproducible shuffled layout.
     Consume shards in index order, rows in pos order."""
-    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
-    d = docs.select(F.col(id_col), key.alias("_k"))
-    shard = (F.instr(F.lit(HEX), F.substring("_k", 1, 1)) - 1).cast("int")
+    d = docs.select(
+        F.col(id_col), seeded_md5_key(seed, F.col(id_col)).alias("_k")
+    )
+    shard = hex_prefix_value(F.col("_k"), 1).cast("int")
     w = Window.partitionBy("shard").orderBy("_k", id_col)
     return (
         d.withColumn("shard", shard)

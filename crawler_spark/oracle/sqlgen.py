@@ -1870,9 +1870,9 @@ FROM j GROUP BY host, crawl_delay_s"""
 def sql_mix_execute() -> str:
     """Twin of operators/mixing.mix_execute_over_documents: the SQL side
     multiplies by the copy count instead of exploding — same numbers."""
+    from crawler_spark.functions.texthash import HEX_DIGITS as MHEX
     from crawler_spark.operators.mixing import (
         HASH_SPACE,
-        HEX as MHEX,
         MIX_SEED,
         PPM as MPPM,
     )

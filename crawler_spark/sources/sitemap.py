@@ -31,14 +31,25 @@ SITEMAP_DEFAULT_PRIORITY_PPM = 500_000  # spec: "default priority is 0.5"
 
 
 def _xml_unescape(col: F.Column) -> F.Column:
-    """Decode the five predefined XML entities. The spec REQUIRES '&'
-    in a loc to be written '&amp;', so skipping this step would send
-    the frontier literal '&amp;' URLs. '&amp;' decodes LAST so
+    """Decode XML escapes for the five chars the spec requires escaping
+    — named entities AND their numeric character references (decimal
+    with optional leading zeros, hex case-insensitive), since common
+    serializers emit '&#38;' as readily as '&amp;'. Locs are URLs
+    (ASCII), so these five are the only codepoints a conformant sitemap
+    ever escapes; arbitrary numeric refs would need a UDF and have no
+    legitimate occurrence in a loc. The ampersand forms decode LAST so
     '&amp;lt;' correctly becomes the literal '&lt;'."""
-    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&apos;", "'"), ("&amp;", "&")):
+    for pat, ch in (
+        (r"&#0*60;|&#[xX]0*3[cC];", "<"),
+        (r"&#0*62;|&#[xX]0*3[eE];", ">"),
+        (r"&#0*34;|&#[xX]0*22;", '"'),
+        (r"&#0*39;|&#[xX]0*27;", "'"),
+    ):
+        col = F.regexp_replace(col, pat, ch)
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'")):
         col = F.replace(col, F.lit(ent), F.lit(ch))
-    return col
+    col = F.regexp_replace(col, r"&#0*38;|&#[xX]0*26;", "&")
+    return F.replace(col, F.lit("&amp;"), F.lit("&"))
 
 
 def _frag_field(tag: str) -> F.Column:

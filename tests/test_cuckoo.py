@@ -203,7 +203,8 @@ def test_pruned_unseen_stage_bloom_cuckoo_equivalence(spark, seen, filters):
     got_c = {r["surt"] for r in r_cuckoo.unseen.collect()}
     want = {r["surt"] for r in cand.join(seen, "surt", "left_anti").collect()}
     assert got_b == want and got_c == want
-    # the cuckoo's 2^-13 FP rate prunes to fewer (or equal) buckets
-    assert set(r_cuckoo.maybe_buckets) <= set(range(CFG.num_host_buckets))
+    # the cuckoo's 2^-13 FP rate prunes to no MORE buckets than the
+    # Bloom's ~1%% FP rate does on the same candidates
+    assert len(r_cuckoo.maybe_buckets) <= len(r_bloom.maybe_buckets)
     r_bloom.probed.unpersist()
     r_cuckoo.probed.unpersist()

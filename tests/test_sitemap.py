@@ -18,6 +18,7 @@ XML = """<?xml version="1.0" encoding="UTF-8"?>
 <url><loc>https://h.example/b</loc></url>
 <url><priority>0.9</priority></url>
 <url><loc>https://h.example/p?a=1&amp;b=2</loc><priority>high</priority></url>
+<url><loc>https://h.example/q?x=1&#38;y=2&#x26;z=3</loc></url>
 </urlset>"""
 
 IDX = """<sitemapindex><sitemap><loc>https://h.example/s1.xml.gz</loc>
@@ -38,8 +39,10 @@ def test_parse_urlset(spark):
     # XML entities decoded; junk priority falls back to the default
     e = got["https://h.example/p?a=1&b=2"]
     assert e["priority_ppm"] == SITEMAP_DEFAULT_PRIORITY_PPM
+    # numeric character references decode too (decimal and hex forms)
+    assert "https://h.example/q?x=1&y=2&z=3" in got
     # loc-less entry dropped
-    assert len(got) == 3
+    assert len(got) == 4
 
 
 @pytest.mark.spark
