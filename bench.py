@@ -675,7 +675,47 @@ def _write_bench_md(sc: dict) -> None:
         f.write("\n".join(lines))
 
 
+R3_OPS = [
+    "cuckoo_unseen", "anchor_terms", "registrable_rollup", "redirect_rollup",
+    "sitemap_parse", "mix_plan", "mix_execute", "semdedup", "revisit_rollup",
+    "sitemap_recrawl", "shuffle_layout", "main_text", "dupe_census",
+    "politeness_audit", "trap_detect", "host_link_summary",
+    "quantize_embeddings",
+]
+
+
+def _ops_bench() -> None:
+    """Time the round-3 operator additions at the bench SF (one count()
+    per query, best of 2 interleaved reps). Not part of the driver's
+    headline contract — run with --ops; results recorded in BENCH.md."""
+    import __spark_entry__ as E
+
+    from crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="ops-bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for rep in range(2):
+        for name in R3_OPS:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            timings[name] = min(timings.get(name, 1e9), dt)
+    out = {
+        "metric": "round-3 operator suite wall time (best-of-2)",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--ops" in sys.argv:
+        _ops_bench()
+        return
     if "--scaling" in sys.argv:
         sc = _scaling()
         _write_bench_md(sc)
