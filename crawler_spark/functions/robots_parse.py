@@ -109,3 +109,21 @@ def robots_from_bodies(
         parsed["disallow_prefixes"].alias("disallow_prefixes"),
         parsed["crawl_delay"].alias("crawl_delay"),
     )
+
+
+def robots_sitemaps(txt: Column) -> Column:
+    """``array<string>`` of ``Sitemap:`` URLs from a robots body — the
+    discovery link into sources/sitemap.parse_sitemaps. Per
+    sitemaps.org / RFC 9309 the record is standalone (independent of
+    user-agent groups), so this is a pure filter+map over the cleaned
+    lines — no fold. Case-insensitive key; values keep their own
+    colons (https://...)."""
+    lines = _clean_lines(F.coalesce(txt, F.lit("")))
+    return F.transform(
+        F.filter(
+            lines,
+            lambda ln: F.lower(F.trim(F.substring_index(ln, ":", 1)))
+            == "sitemap",
+        ),
+        lambda ln: F.trim(F.regexp_replace(ln, "^[^:]*:", "")),
+    )

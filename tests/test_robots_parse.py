@@ -6,6 +6,7 @@ the same documented RFC 9309 subset, plus hand-checked fixtures.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark.functions.robots_parse import parse_robots, robots_from_bodies
@@ -118,3 +119,21 @@ def test_parse_is_single_projection_no_python(spark):
     )
     assert "EvalPython" not in plan  # pure JVM expression tree
     assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_robots_sitemaps_extraction(spark):
+    """Sitemap: records are standalone (any case, any group position,
+    comments stripped); hosts without one yield an empty array."""
+    from crawler_spark.functions.robots_parse import robots_sitemaps
+
+    body = (
+        "User-agent: googlebot\nDisallow: /private\n"
+        "SITEMAP: https://h.example/sitemap.xml  # comment\n"
+        "User-agent: *\nDisallow: /tmp\n"
+        "sitemap: https://h.example/s2.xml.gz\n"
+    )
+    df = spark.createDataFrame([(body,), (None,)], "txt string")
+    got = [r["sm"] for r in df.select(robots_sitemaps(F.col("txt")).alias("sm")).collect()]
+    assert got[0] == ["https://h.example/sitemap.xml", "https://h.example/s2.xml.gz"]
+    assert got[1] == []
