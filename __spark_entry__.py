@@ -995,6 +995,40 @@ def _q_mix_execute(spark, sf_dir):
     return mix_execute_over_documents(_t(spark, sf_dir, "documents"))
 
 
+
+def _q_robots_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots bodies (functions/robots_parse.py
+    robots_sitemaps): standalone Sitemap: records extracted by a pure
+    filter+map over cleaned lines — bodies are a closed-form function
+    of g = doc_id %% 50 (0, 1 or 2 records, mixed case, inline
+    comments), so the oracle derives the expected counts and first URL
+    arithmetically while the Spark side genuinely parses."""
+    from crawler_spark.functions.robots_parse import robots_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 50).cast("long")
+    gs = g.cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.when(
+            g % 3 >= 1,
+            F.concat(F.lit("SITEMAP: https://h"), gs,
+                     F.lit(".example/s1.xml  # primary\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            g % 3 == 2,
+            F.concat(F.lit("sitemap: https://h"), gs, F.lit(".example/s2.xml.gz\n")),
+        ).otherwise(F.lit("")),
+    )
+    sm = robots_sitemaps(body)
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("h"), gs).alias("host"),
+        F.size(sm).alias("n_sitemaps"),
+        F.get(sm, 0).alias("first_sitemap"),
+    )
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1106,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dupe_census": _q_dupe_census,
         "politeness_audit": _q_politeness_audit,
         "mix_execute": _q_mix_execute,
+        "robots_sitemaps": _q_robots_sitemaps,
     }
 
 
@@ -1256,4 +1291,5 @@ GROUP BY source""",
         "dupe_census": SG.sql_dupe_census(),
         "politeness_audit": SG.sql_politeness_audit(),
         "mix_execute": SG.sql_mix_execute(),
+        "robots_sitemaps": SG.sql_robots_sitemaps(),
     }

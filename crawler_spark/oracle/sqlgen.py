@@ -1912,3 +1912,17 @@ SELECT p2.stratum, CAST(coalesce(e.n_emitted, 0) AS BIGINT) AS n_emitted,
        CAST(coalesce(e.tokens_emitted, 0) AS BIGINT) AS tokens_emitted,
        p2.planned_tokens
 FROM plan2 p2 LEFT JOIN e USING (stratum)"""
+
+
+def sql_robots_sitemaps() -> str:
+    """Twin of the robots sitemap-discovery query: the oracle derives
+    counts/URLs arithmetically from the same closed form."""
+    return """
+SELECT doc_id,
+       'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+       CAST(CASE (doc_id % 50) % 3 WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END
+            AS INTEGER) AS n_sitemaps,
+       CASE WHEN (doc_id % 50) % 3 >= 1
+            THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/s1.xml'
+       END AS first_sitemap
+FROM documents"""
