@@ -42,13 +42,21 @@ def _clean_lines(txt: Column) -> Column:
     )
 
 
+def _key(ln: Column) -> Column:
+    """Lowercased record key (text before the first colon)."""
+    return F.lower(F.trim(F.substring_index(ln, ":", 1)))
+
+
+def _val(ln: Column) -> Column:
+    """Record value: text after the FIRST colon (values may themselves
+    contain colons, e.g. "Disallow: /a:b" or a sitemap URL)."""
+    return F.trim(F.regexp_replace(ln, "^[^:]*:", ""))
+
+
 def parse_robots(txt: Column) -> Column:
     """struct(disallow_prefixes array<string>, crawl_delay double) for
     the ``*`` agent. NULL input → empty rules (allow everything)."""
-    key = lambda ln: F.lower(F.trim(F.substring_index(ln, ":", 1)))  # noqa: E731
-    # value = text after the FIRST colon (values may themselves contain
-    # colons, e.g. "Disallow: /a:b")
-    val = lambda ln: F.trim(F.regexp_replace(ln, "^[^:]*:", ""))  # noqa: E731
+    key, val = _key, _val
 
     def step(acc, ln):
         k, v = key(ln), val(ln)
@@ -119,11 +127,15 @@ def robots_sitemaps(txt: Column) -> Column:
     lines — no fold. Case-insensitive key; values keep their own
     colons (https://...)."""
     lines = _clean_lines(F.coalesce(txt, F.lit("")))
+    # the colon-present + non-empty-value guards mirror parse_robots's
+    # Disallow handling: a bare 'sitemap' line or a valueless record
+    # must not surface as a fetchable "URL"
     return F.transform(
         F.filter(
             lines,
-            lambda ln: F.lower(F.trim(F.substring_index(ln, ":", 1)))
-            == "sitemap",
+            lambda ln: (F.instr(ln, ":") > 0)
+            & (_key(ln) == "sitemap")
+            & (F.length(_val(ln)) > 0),
         ),
-        lambda ln: F.trim(F.regexp_replace(ln, "^[^:]*:", "")),
+        _val,
     )

@@ -58,16 +58,21 @@ def test_mix_split_arithmetic_matches_bigint(budget, weight_ppm, n_tokens):
         tail = ((r >> TAIL_SHIFT) * PPM) // (n_tokens >> TAIL_SHIFT)
     else:
         tail = (r * PPM) // n_tokens
-        assert (r >> TAIL_SHIFT) * PPM < 2**63  # the guarded branch is safe
+        assert r * PPM < 2**63  # the unshifted branch truly fits int64
     exact_tail = (r * PPM) // n_tokens  # big-int truth
-    assert abs(tail - exact_tail) <= 1 + exact_tail // 1000  # ≤1 ppm + ulp
+    # shifted-branch bound: relative ≤ 2·2^22/n < 2.1e-6 past the
+    # threshold, plus floor slop — a wrong TAIL_SHIFT fails this
+    assert abs(tail - exact_tail) <= 2 + (exact_tail * 3) // 1_000_000
 
     planned_split = (n_tokens // PPM) * tail + ((n_tokens % PPM) * tail) // PPM
     assert planned_split == (n_tokens * tail) // PPM  # exact, proven
     # every int64 intermediate of the Spark expressions stays in range
+    shifted = ((r >> TAIL_SHIFT) * PPM, n_tokens >> TAIL_SHIFT)
+    unshifted = (r * PPM,) if n_tokens <= TAIL_SHIFT_ABOVE else shifted
     for v in (
         (budget % PPM) * weight_ppm,
         (n_tokens % PPM) * tail,
         (n_tokens // PPM) * tail,
+        *unshifted,
     ):
         assert -(2**63) <= v < 2**63
