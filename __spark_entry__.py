@@ -644,6 +644,7 @@ def _q_robots_rules(spark, sf_dir):
 
 
 CDX_CLOSEST_TS = "20260101013000"
+CDX_COLLAPSE_DIGITS = 8  # collapse=timestamp:8 → one capture per day
 
 
 def _q_snapshot_asof(spark, sf_dir):
@@ -671,6 +672,46 @@ def _q_cdx_closest(spark, sf_dir):
         "digest",
     )
     return cdx_closest(cdx, CDX_CLOSEST_TS)
+
+
+def _collapse_cdx(spark, sf_dir, digest_k=None):
+    """The R1 CDX projection of the closed-form capture store (shared
+    by the two collapse queries)."""
+    from crawler_spark.functions.url import canonicalize_udf
+    from crawler_spark.operators.asof import synth_captures
+
+    return synth_captures(_t(spark, sf_dir, "documents"), digest_k=digest_k).select(
+        canonicalize_udf(F.col("url"))["surt"].alias("urlkey"),
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts"),
+        "url",
+        "digest",
+    )
+
+
+def _q_cdx_collapse_digest(spark, sf_dir):
+    """CDX ``collapse=digest`` (operators/cdxcollapse.py — pywb/CC
+    index-server capture thinning the reference's client never passes):
+    adjacent same-digest captures per urlkey are dropped via ONE lag
+    window keyed on urlkey (per-URL groups — skew-free). Even docs'
+    k=1 capture repeats the k=0 digest (CDX_COLLAPSE_DK twin), so the
+    collapse provably removes rows."""
+    from crawler_spark.operators.cdxcollapse import collapse_digest
+
+    dk = (
+        F.when((F.col("doc_id") % 2 == 0) & (F.col("k") == 1), F.lit(0))
+        .otherwise(F.col("k"))
+    )
+    return collapse_digest(_collapse_cdx(spark, sf_dir, digest_k=dk))
+
+
+def _q_cdx_collapse_time(spark, sf_dir):
+    """CDX ``collapse=timestamp:8`` (operators/cdxcollapse.py): one
+    capture per urlkey per day — NO window: the prefix is monotone in
+    ts, so adjacent-first ≡ min_by per (urlkey, prefix), a partial
+    aggregate with map-side combine."""
+    from crawler_spark.operators.cdxcollapse import collapse_timestamp
+
+    return collapse_timestamp(_collapse_cdx(spark, sf_dir), CDX_COLLAPSE_DIGITS)
 
 
 def _q_crawl_rollup(spark, sf_dir):
@@ -1116,6 +1157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_familiarity": _q_lm_familiarity,
         "snapshot_asof": _q_snapshot_asof,
         "cdx_closest": _q_cdx_closest,
+        "cdx_collapse_digest": _q_cdx_collapse_digest,
+        "cdx_collapse_time": _q_cdx_collapse_time,
         "crawl_rollup": _q_crawl_rollup,
         "latency_quantiles": _q_latency_quantiles,
         "recrawl_schedule": _q_recrawl_schedule,
@@ -1267,6 +1310,8 @@ GROUP BY source""",
         "lm_familiarity": SG.sql_lm_familiarity(),
         "snapshot_asof": SG.sql_snapshot_asof(),
         "cdx_closest": SG.sql_cdx_closest(CDX_CLOSEST_TS),
+        "cdx_collapse_digest": SG.sql_cdx_collapse_digest(),
+        "cdx_collapse_time": SG.sql_cdx_collapse_time(CDX_COLLAPSE_DIGITS),
         "crawl_rollup": SG.sql_crawl_rollup(),
         "latency_quantiles": SG.sql_latency_quantiles(),
         "recrawl_schedule": SG.sql_recrawl_schedule(),

@@ -1179,6 +1179,48 @@ SELECT urlkey, ts, url, digest FROM (
 ) WHERE rn = 1"""
 
 
+_CAPS_CDX_CTE = """
+cdx AS (
+  SELECT 'com,example,' || replace(host, '.example.com', '')
+           || ')/p/' || CAST(doc_id AS VARCHAR) AS urlkey,
+         strftime(ts, '%Y%m%d%H%M%S') AS ts, url, digest
+  FROM caps
+)"""
+
+# Planted adjacent duplicate: even docs' k=1 capture repeats the k=0
+# digest, so digest-collapse drops exactly that row (twin of the
+# digest_k Column in __spark_entry__._q_cdx_collapse_digest).
+CDX_COLLAPSE_DK = "CASE WHEN doc_id % 2 = 0 AND k = 1 THEN 0 ELSE k END"
+
+
+def sql_cdx_collapse_digest() -> str:
+    """Twin of operators/cdxcollapse.collapse_digest over the capture
+    store with planted adjacent-duplicate digests: lag per urlkey in
+    (ts, url) order, keep rows whose digest differs from the previous."""
+    return f"""
+WITH {_capture_base(dk=CDX_COLLAPSE_DK)},
+{_CAPS_CDX_CTE},
+lagd AS (
+  SELECT *, lag(digest) OVER (PARTITION BY urlkey ORDER BY ts, url) AS prev
+  FROM cdx
+)
+SELECT urlkey, ts, url, digest FROM lagd
+WHERE prev IS NULL OR prev <> digest"""
+
+
+def sql_cdx_collapse_time(digits: int) -> str:
+    """Twin of operators/cdxcollapse.collapse_timestamp: first capture
+    per urlkey per distinct ``digits``-long ts prefix."""
+    return f"""
+WITH {_capture_base()},
+{_CAPS_CDX_CTE}
+SELECT urlkey, ts, url, digest FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY urlkey, substr(ts, 1, {digits}) ORDER BY ts, url) AS rn
+  FROM cdx
+) WHERE rn = 1"""
+
+
 _PAGE_STATS = """
 pstats AS (
   SELECT source || '.example.com' AS host,
