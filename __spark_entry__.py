@@ -526,6 +526,55 @@ def _q_corpus_classify(spark, sf_dir):
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
+def _q_robots_wildcard(spark, sf_dir):
+    """RFC 9309 wildcard robots gate (functions/robots_parse.py
+    parse_robots_rules + operators/robots.gate_rfc9309): bodies carry a
+    non-applicable googlebot group plus a ``*`` group with ``*``/``$``
+    patterns and Allow/Disallow precedence cases; paths are a
+    closed-form function of m = doc_id % 6 hitting no-match, wildcard
+    block, longest-match allow, length-tie allow, $-anchor block and
+    $-anchor miss — the oracle derives every verdict arithmetically
+    while the Spark side genuinely parses and pattern-matches."""
+    from crawler_spark.functions.robots_parse import robots_rules_from_bodies
+    from crawler_spark.operators.robots import gate_rfc9309
+
+    d = _t(spark, sf_dir, "documents")
+    g = F.col("g")
+    gs = g.cast("string")
+    hosts = (
+        d.select((F.col("doc_id") % 50).alias("g"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), gs, F.lit(".example.com")).alias("host"),
+            F.concat(
+                F.lit(
+                    "User-agent: googlebot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\n"
+                    "Disallow: /tmp/\nAllow: /t*p/\nDisallow: /g"
+                ),
+                gs,
+                F.lit("$\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    m = F.col("doc_id") % 6
+    mg = (F.col("doc_id") % 50).cast("string")
+    cands = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("site"), mg, F.lit(".example.com")).alias("host"),
+        F.when(m == 0, F.lit("/public/x"))
+        .when(m == 1, F.lit("/private/x"))
+        .when(m == 2, F.lit("/private/ok"))
+        .when(m == 3, F.lit("/tmp/a"))
+        .when(m == 4, F.concat(F.lit("/g"), mg))
+        .otherwise(F.concat(F.lit("/g"), mg, F.lit("x")))
+        .alias("path"),
+    )
+    return gate_rfc9309(cands, robots_rules_from_bodies(hosts)).select(
+        "doc_id", "host", "path", "allowed", "rule"
+    )
+
+
 def _q_span_dedup(spark, sf_dir):
     """Exact duplicated-span removal (operators/spandedup.py): rewrite
     every document with non-canonical duplicated K-word windows stripped
@@ -1184,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_audit": _q_politeness_audit,
         "mix_execute": _q_mix_execute,
         "robots_sitemaps": _q_robots_sitemaps,
+        "robots_wildcard": _q_robots_wildcard,
     }
 
 
@@ -1337,4 +1387,5 @@ GROUP BY source""",
         "politeness_audit": SG.sql_politeness_audit(),
         "mix_execute": SG.sql_mix_execute(),
         "robots_sitemaps": SG.sql_robots_sitemaps(),
+        "robots_wildcard": SG.sql_robots_wildcard(),
     }

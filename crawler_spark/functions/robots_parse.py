@@ -119,6 +119,122 @@ def robots_from_bodies(
     )
 
 
+def parse_robots_rules(txt: Column) -> Column:
+    """``array<struct<pattern string, allow boolean>>`` — the ``*``
+    group's Allow AND Disallow rules in file order (the full RFC 9309
+    rule set; :func:`parse_robots` stays the cheap prefix-only gate).
+
+    Same group semantics as :func:`parse_robots` (runs of User-agent
+    headers, a group applies when any header is ``*``); empty-value
+    rules are ignored per the de-facto standard (an empty Disallow is
+    allow-all, an empty Allow matches nothing).
+    """
+    key, val = _key, _val
+
+    def step(acc, ln):
+        k, v = key(ln), val(ln)
+        is_ua = k == "user-agent"
+        new_applies = F.when(
+            is_ua & acc["in_header"], acc["applies"] | (v == "*")
+        ).otherwise(v == "*")
+        applies = F.when(is_ua, new_applies).otherwise(acc["applies"])
+        is_rule = ~is_ua & acc["applies"] & (F.length(v) > 0)
+        add_allow = is_rule & (k == "allow")
+        add_dis = is_rule & (k == "disallow")
+        entry = F.struct(
+            v.alias("pattern"), (k == "allow").alias("allow")
+        )
+        rules = F.when(
+            add_allow | add_dis, F.array_append(acc["rules"], entry)
+        ).otherwise(acc["rules"])
+        return F.struct(
+            is_ua.alias("in_header"),
+            applies.alias("applies"),
+            rules.alias("rules"),
+        )
+
+    init = F.struct(
+        F.lit(False).alias("in_header"),
+        F.lit(False).alias("applies"),
+        F.array().cast(RULES_TYPE).alias("rules"),
+    )
+    return F.aggregate(
+        F.filter(
+            _clean_lines(F.coalesce(txt, F.lit(""))),
+            lambda ln: F.length(ln) > 0,
+        ),
+        init,
+        step,
+        lambda acc: acc["rules"],
+    )
+
+
+RULES_TYPE = "array<struct<pattern:string,allow:boolean>>"
+
+_ESCAPE = "\\"
+
+
+def robots_like_pattern(p: Column) -> Column:
+    """robots path pattern → SQL ``LIKE`` pattern (escape ``\\``).
+
+    RFC 9309 special characters: ``*`` matches any character run
+    (→ ``%``) and a trailing ``$`` anchors the end of the path
+    (→ no trailing ``%``); everything else is literal, so LIKE's own
+    metacharacters (``%`` ``_`` and the escape char) are escaped.
+    Patterns match from the START of the path — exactly LIKE's
+    full-string anchoring once the trailing ``%`` is appended.
+    """
+    esc = F.replace(p, F.lit(_ESCAPE), F.lit(_ESCAPE * 2))
+    esc = F.replace(esc, F.lit("%"), F.lit(_ESCAPE + "%"))
+    esc = F.replace(esc, F.lit("_"), F.lit(_ESCAPE + "_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(
+        p.endswith("$"), F.substring(esc, F.lit(1), F.length(esc) - 1)
+    ).otherwise(F.concat(esc, F.lit("%")))
+
+
+def rfc9309_match(path: Column, rules: Column) -> Column:
+    """``struct(allowed boolean, rule string)`` — the RFC 9309 verdict
+    for ``path`` under ``rules`` (parse_robots_rules output).
+
+    Precedence (RFC 9309 §2.2.2, same as Google's robots.cc): the
+    matching rule with the LONGEST raw pattern wins; a length tie goes
+    to the least-restrictive rule (allow). No matching rule → allowed,
+    NULL rule. The struct ``array_max`` encodes exactly that order:
+    (pattern length, allow flag, pattern) compared field-by-field —
+    the trailing pattern field only breaks same-length-same-verdict
+    ties deterministically.
+    """
+    matched = F.filter(
+        rules,
+        lambda r: F.like(path, robots_like_pattern(r["pattern"]), F.lit(_ESCAPE)),
+    )
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["pattern"]).alias("l"),
+                r["allow"].alias("allow"),
+                r["pattern"].alias("pattern"),
+            ),
+        )
+    )
+    return F.struct(
+        F.coalesce(best["allow"], F.lit(True)).alias("allowed"),
+        best["pattern"].alias("rule"),
+    )
+
+
+def robots_rules_from_bodies(
+    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, rules) — the shape operators/robots.gate_rfc9309 consumes."""
+    return df.select(
+        F.col(host_col).alias("host"),
+        parse_robots_rules(F.col(body_col)).alias("rules"),
+    )
+
+
 def robots_sitemaps(txt: Column) -> Column:
     """``array<string>`` of ``Sitemap:`` URLs from a robots body — the
     discovery link into sources/sitemap.parse_sitemaps. Per

@@ -82,6 +82,49 @@ def gate(
     return GateResult(allowed=allowed, blocked=blocked)
 
 
+def gate_rfc9309(
+    candidates: DataFrame,
+    rules_table: DataFrame | None,
+    host_col: str = "host",
+    path_col: str = "path",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Full-RFC 9309 robots verdict per candidate: wildcard (``*``) and
+    end-anchor (``$``) patterns, Allow AND Disallow, longest-match
+    precedence with allow winning length ties.
+
+    ``rules_table`` is (host, rules) from
+    functions/robots_parse.robots_rules_from_bodies. Adds ``allowed``
+    (boolean) and ``rule`` (the winning pattern, NULL when no rule
+    matched). Unknown hosts are allowed. Same join shape as
+    :func:`gate_tag`: per-host rules broadcast when they fit, else a
+    host-keyed shuffle the politeness window reuses; the match itself
+    is a per-row JVM array fold — rules arrays are per-host and small,
+    so the LIKE-per-rule cost is O(rules) per candidate, no UDF.
+    """
+    from crawler_spark.functions.robots_parse import RULES_TYPE, rfc9309_match
+
+    if rules_table is None:
+        return candidates.withColumns(
+            {"allowed": F.lit(True), "rule": F.lit(None).cast("string")}
+        )
+    r = rules_table.select(
+        F.col("host").alias("_r_host"), F.col("rules").alias("_r_rules")
+    )
+    if broadcast:
+        r = F.broadcast(r)
+    joined = candidates.join(r, F.col(host_col) == F.col("_r_host"), "left")
+    v = rfc9309_match(
+        F.col(path_col),
+        F.coalesce(F.col("_r_rules"), F.array().cast(RULES_TYPE)),
+    )
+    return (
+        joined.withColumn("allowed", v["allowed"])
+        .withColumn("rule", v["rule"])
+        .drop("_r_host", "_r_rules")
+    )
+
+
 def budget_from_crawl_delay(df: DataFrame, round_duration_s: float, default_budget: int) -> DataFrame:
     """Derive a per-host budget column from robots crawl_delay:
     at most round_duration/delay fetches per round (≥1), else default."""

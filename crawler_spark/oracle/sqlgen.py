@@ -1208,6 +1208,35 @@ SELECT urlkey, ts, url, digest FROM lagd
 WHERE prev IS NULL OR prev <> digest"""
 
 
+def sql_robots_wildcard() -> str:
+    """Twin of __spark_entry__._q_robots_wildcard: the RFC 9309 verdict
+    per path is closed-form in m = doc_id % 6 (the Spark side parses
+    and wildcard-matches for real; here every case is pre-derived) —
+    m=0 no rule matches; m=1 blocked by ``/private*``; m=2 the longer
+    ``/private/ok$`` Allow beats it; m=3 the equal-length ``/t*p/``
+    Allow wins the tie; m=4 blocked by the ``$``-anchored ``/g{g}$``;
+    m=5 the anchor misses."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+       CASE doc_id % 6
+         WHEN 0 THEN '/public/x'
+         WHEN 1 THEN '/private/x'
+         WHEN 2 THEN '/private/ok'
+         WHEN 3 THEN '/tmp/a'
+         WHEN 4 THEN '/g' || CAST(doc_id % 50 AS VARCHAR)
+         ELSE '/g' || CAST(doc_id % 50 AS VARCHAR) || 'x'
+       END AS path,
+       doc_id % 6 NOT IN (1, 4) AS allowed,
+       CASE doc_id % 6
+         WHEN 1 THEN '/private*'
+         WHEN 2 THEN '/private/ok$'
+         WHEN 3 THEN '/t*p/'
+         WHEN 4 THEN '/g' || CAST(doc_id % 50 AS VARCHAR) || '$'
+       END AS rule
+FROM documents"""
+
+
 def sql_cdx_collapse_time(digits: int) -> str:
     """Twin of operators/cdxcollapse.collapse_timestamp: first capture
     per urlkey per distinct ``digits``-long ts prefix."""
