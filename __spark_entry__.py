@@ -526,6 +526,36 @@ def _q_corpus_classify(spark, sf_dir):
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
+def _q_fetch_timetable(spark, sf_dir):
+    """Per-host fetch timetable (operators/politeness.schedule_fetches):
+    the token bucket compiled into explicit dispatch timestamps — slot k
+    of a host fetches at k·crawl_delay. One window on the same (host)
+    partitioning the admission pass shuffled by; delays are exact
+    binary fractions (multiples of 0.5 s) so the ms arithmetic is
+    bit-stable across engines, with a NULL-delay case exercising the
+    default."""
+    from crawler_spark.operators.politeness import schedule_fetches
+
+    d = _t(spark, sf_dir, "documents")
+    g = F.col("doc_id") % 50
+    gs = g.cast("string")
+    cands = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("site"), gs, F.lit(".example.com")).alias("host"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+        F.concat(
+            F.lit("com,example,site"), gs, F.lit(")/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+        F.when(g % 4 == 3, F.lit(None).cast("double"))
+        .otherwise((g % 4).cast("double") * 0.5)
+        .alias("crawl_delay"),
+    )
+    return schedule_fetches(cands).select(
+        "doc_id", "host", "slot", "scheduled_ms"
+    )
+
+
 def _q_robots_wildcard(spark, sf_dir):
     """RFC 9309 wildcard robots gate (functions/robots_parse.py
     parse_robots_rules + operators/robots.gate_rfc9309): bodies carry a
@@ -1234,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_execute": _q_mix_execute,
         "robots_sitemaps": _q_robots_sitemaps,
         "robots_wildcard": _q_robots_wildcard,
+        "fetch_timetable": _q_fetch_timetable,
     }
 
 
@@ -1388,4 +1419,5 @@ GROUP BY source""",
         "mix_execute": SG.sql_mix_execute(),
         "robots_sitemaps": SG.sql_robots_sitemaps(),
         "robots_wildcard": SG.sql_robots_wildcard(),
+        "fetch_timetable": SG.sql_fetch_timetable(),
     }

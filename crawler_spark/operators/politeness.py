@@ -124,6 +124,44 @@ def admit_per_host(
     return AdmitResult(admitted=admitted, deferred=deferred)
 
 
+def schedule_fetches(
+    admitted: DataFrame,
+    round_start_ms: int = 0,
+    host_col: str = "host",
+    order: list[Column] | None = None,
+    delay_col: str = "crawl_delay",
+    default_delay_s: float = 0.5,
+) -> DataFrame:
+    """Per-host dispatch timetable: the k-th admitted URL of a host
+    (deterministic ``default_order``) fetches at
+    ``round_start + k · crawl_delay``.
+
+    This is the explicit-timestamp form of the reference's blocking
+    token bucket (src/utils/rate_limiter.py:11-78): instead of pacing
+    by sleeping, the round's admitted set is compiled into a timetable
+    a fetcher fleet consumes — each executor walks its host partition
+    in slot order and honors ``scheduled_ms``. One window per host,
+    the SAME (host)-partitioning admit_per_host just shuffled by, so
+    under one stage boundary the exchange is reused; groups are
+    budget-capped (≤ per-round budget rows), so no skew.
+
+    ``delay_col`` (seconds, from robots crawl_delay) may be NULL →
+    ``default_delay_s``. ``delay_ms`` truncates toward zero, matching
+    the SQL CAST the oracle uses.
+    """
+    order = order or default_order()
+    w = Window.partitionBy(host_col).orderBy(*order)
+    delay_ms = (
+        (F.coalesce(F.col(delay_col), F.lit(default_delay_s)) * 1000)
+        .cast("bigint")
+    )
+    slot = (F.row_number().over(w) - 1).cast("long")
+    return admitted.withColumn("slot", slot).withColumn(
+        "scheduled_ms",
+        (F.lit(int(round_start_ms)) + F.col("slot") * delay_ms).cast("long"),
+    )
+
+
 def adaptive_budget(base_rate: float, failures_prev: int, successes_prev: int, cfg: EngineConfig = DEFAULT) -> float:
     """Next round's rate from the previous round's outcome — the
     deterministic recast of AdaptiveRateLimiter

@@ -1208,6 +1208,34 @@ SELECT urlkey, ts, url, digest FROM lagd
 WHERE prev IS NULL OR prev <> digest"""
 
 
+def sql_fetch_timetable() -> str:
+    """Twin of operators/politeness.schedule_fetches over the same
+    closed-form candidate set: row_number per host in (priority desc,
+    surt) order, scheduled_ms = slot × delay_ms (delays are multiples
+    of 0.5 s — exact in binary — NULL → 0.5 default)."""
+    return """
+WITH c AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+         doc_id % 5 AS priority,
+         'com,example,site' || CAST(doc_id % 50 AS VARCHAR) || ')/p/'
+           || CAST(doc_id AS VARCHAR) AS surt,
+         CASE WHEN doc_id % 50 % 4 = 3 THEN NULL
+              ELSE CAST(doc_id % 50 % 4 AS DOUBLE) * 0.5 END AS crawl_delay
+  FROM documents
+),
+s AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY priority DESC, surt) - 1 AS slot
+  FROM c
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
+       CAST(slot AS BIGINT) AS slot,
+       CAST(slot * CAST(coalesce(crawl_delay, 0.5) * 1000 AS BIGINT)
+            AS BIGINT) AS scheduled_ms
+FROM s"""
+
+
 def sql_robots_wildcard() -> str:
     """Twin of __spark_entry__._q_robots_wildcard: the RFC 9309 verdict
     per path is closed-form in m = doc_id % 6 (the Spark side parses
