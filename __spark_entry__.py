@@ -526,6 +526,18 @@ def _q_corpus_classify(spark, sf_dir):
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
+def _q_dsir_select(spark, sf_dir):
+    """DSIR-shaped importance selection (operators/dsir.py, Xie et al.
+    NeurIPS 2023): hashed-bigram target/raw ratio model — 4096-bucket
+    partial agg with the target flag riding the explode (no doc join),
+    weights BROADCAST onto the occurrence stream (corpus never shuffles
+    by feature), per-doc rollup the only corpus-sized shuffle; keep cut
+    at the exact corpus score quantile (quantile_cont-parity)."""
+    from crawler_spark.operators.dsir import dsir_select
+
+    return dsir_select(_t(spark, sf_dir, "documents"))
+
+
 def _q_fetch_timetable(spark, sf_dir):
     """Per-host fetch timetable (operators/politeness.schedule_fetches):
     the token bucket compiled into explicit dispatch timestamps — slot k
@@ -1265,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "robots_wildcard": _q_robots_wildcard,
         "fetch_timetable": _q_fetch_timetable,
+        "dsir_select": _q_dsir_select,
     }
 
 
@@ -1420,4 +1433,5 @@ GROUP BY source""",
         "robots_sitemaps": SG.sql_robots_sitemaps(),
         "robots_wildcard": SG.sql_robots_wildcard(),
         "fetch_timetable": SG.sql_fetch_timetable(),
+        "dsir_select": SG.sql_dsir_select(),
     }

@@ -680,7 +680,8 @@ R3_OPS = [
     "sitemap_parse", "mix_plan", "mix_execute", "semdedup", "revisit_rollup",
     "sitemap_recrawl", "shuffle_layout", "main_text", "dupe_census",
     "politeness_audit", "trap_detect", "host_link_summary",
-    "quantize_embeddings",
+    "quantize_embeddings", "cdx_collapse_digest", "cdx_collapse_time",
+    "robots_wildcard", "fetch_timetable",
 ]
 
 

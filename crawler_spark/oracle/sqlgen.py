@@ -1208,6 +1208,53 @@ SELECT urlkey, ts, url, digest FROM lagd
 WHERE prev IS NULL OR prev <> digest"""
 
 
+def sql_dsir_select() -> str:
+    """Twin of operators/dsir.dsir_select: hashed-bigram importance
+    scores (same h64-mod-bucket features, Laplace-smoothed integer
+    ratio) with the keep cut at quantile_cont(DSIR_KEEP_Q)."""
+    from crawler_spark.functions.texthash import sql_h64
+    from crawler_spark.operators.dsir import (
+        DSIR_BUCKETS,
+        DSIR_KEEP_Q,
+        DSIR_SCALE,
+    )
+
+    h = sql_h64("bg")
+    return f"""
+WITH d AS (
+  SELECT doc_id, source = 'src0' AS t, string_split(text, ' ') AS w
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, t,
+         {h} % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, t,
+           unnest(list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])) AS bg
+    FROM d WHERE len(w) >= 2
+  )
+),
+weights AS (
+  SELECT bucket,
+         (sum(CASE WHEN t THEN 1 ELSE 0 END) + 1) * {DSIR_SCALE}
+           // (count(*) + 1) AS wgt
+  FROM bg GROUP BY bucket
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(wgt) AS BIGINT) AS raw
+  FROM bg JOIN weights USING (bucket) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, n_bigrams, raw // n_bigrams AS dsir_score FROM per_doc
+)
+SELECT doc_id, n_bigrams, dsir_score,
+       dsir_score >= (SELECT quantile_cont(dsir_score, {DSIR_KEEP_Q})
+                      FROM scored) AS kept
+FROM scored"""
+
+
 def sql_fetch_timetable() -> str:
     """Twin of operators/politeness.schedule_fetches over the same
     closed-form candidate set: row_number per host in (priority desc,
