@@ -526,6 +526,35 @@ def _q_corpus_classify(spark, sf_dir):
     return res.groupBy("confidence").agg(F.count("*").alias("n"))
 
 
+def _q_outlink_extract(spark, sf_dir):
+    """Outlink extraction (functions/links.py): synthetic anchor-tag
+    HTML per document exercises absolute-path, dot-segment (../),
+    relative-path, protocol-relative, query-only and mailto refs —
+    the Spark side genuinely regexp-harvests hrefs and resolves them
+    per RFC 3986 (one JVM fold per ref, no UDF, pure map stage); the
+    oracle reconstructs each resolved URL closed-form."""
+    from crawler_spark.functions.links import outlinks
+
+    d = _t(spark, sf_dir, "documents")
+    gs = (F.col("doc_id") % 50).cast("string")
+    ids = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://site"), gs, F.lit(".example.com/a/b/page"),
+            ids, F.lit(".html"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<p><a href="/root'), gs, F.lit('.html">r</a>'),
+            F.lit("<A HREF='../up"), ids, F.lit(".html'>u</A>"),
+            F.lit("<a class=x href=rel/deep.html>d</a>"),
+            F.lit('<a href="//cdn'), gs, F.lit('.example.net/x">c</a>'),
+            F.lit('<a href="mailto:x@y">m</a>'),
+            F.lit('<a href="?q='), ids, F.lit('">q</a></p>'),
+        ).alias("html"),
+    )
+    return outlinks(pages)
+
+
 def _q_dsir_select(spark, sf_dir):
     """DSIR-shaped importance selection (operators/dsir.py, Xie et al.
     NeurIPS 2023): hashed-bigram target/raw ratio model — 4096-bucket
@@ -1278,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_wildcard": _q_robots_wildcard,
         "fetch_timetable": _q_fetch_timetable,
         "dsir_select": _q_dsir_select,
+        "outlink_extract": _q_outlink_extract,
     }
 
 
@@ -1434,4 +1464,5 @@ GROUP BY source""",
         "robots_wildcard": SG.sql_robots_wildcard(),
         "fetch_timetable": SG.sql_fetch_timetable(),
         "dsir_select": SG.sql_dsir_select(),
+        "outlink_extract": SG.sql_outlink_extract(),
     }

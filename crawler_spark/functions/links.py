@@ -1,0 +1,150 @@
+"""Outlink extraction: HTML ``href`` harvesting + RFC 3986 reference
+resolution, fully JVM-side (regexp + array fold — no Python UDF).
+
+This is the front end of frontier expansion the reference never needs
+(it reads links from Common Crawl's pre-built indexes; our frontier
+loop consumes a ``links`` table, frontier.py:18): fetched pages →
+``<a href>`` references → absolute canonical URLs.
+
+Resolution follows RFC 3986 §5 (public spec; verified against CPython's
+``urllib.parse.urljoin`` on the RFC's own §5.4 example bank in
+tests/test_links.py):
+
+- absolute references (with scheme) pass through; non-http(s) schemes
+  (mailto:, javascript:, data:) resolve to NULL and are filtered;
+- network-path references (``//host/…``) take the base scheme;
+- absolute-path, query-only, fragment-only and relative-path references
+  merge with the base; dot segments (``.``/``..``) are removed by ONE
+  ``F.aggregate`` fold over the split path — a per-row O(segments) JVM
+  pass, the same pattern as the robots.txt fold;
+- fragments are always dropped (a crawl frontier never fetches them).
+
+Precondition: ``base`` is an absolute http(s) URL — true by
+construction here, pages enter the store through canonicalization.
+
+Scale: extraction + resolution is a pure map stage (explode of a
+regexp_extract_all); the only shuffle in outlink flows is whatever the
+consumer does next (dedupe/anti-join), exactly as frontier.py plans it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href="..." / href='...' / href=bare — case-insensitive, <a> tags only
+_HREF_RX = r"""(?i)<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>'"]+))"""
+
+_SCHEME_RX = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def extract_hrefs(html: Column) -> Column:
+    """``array<string>`` of raw href values from anchor tags (both
+    quote styles and bare values; empty hrefs kept — the resolver maps
+    them to the base). NULL html → empty array."""
+    quoted2 = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 2)
+    quoted1 = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 3)
+    bare = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 4)
+    # the three capture groups are mutually exclusive per match; zip
+    # them positionally and take whichever is non-empty
+    return F.zip_with(
+        F.zip_with(quoted2, quoted1, lambda a, b: F.when(F.length(a) > 0, a).otherwise(b)),
+        bare,
+        lambda ab, c: F.when(F.length(ab) > 0, ab).otherwise(c),
+    )
+
+
+def _remove_dot_segments(path: Column) -> Column:
+    """RFC 3986 §5.2.4 over an absolute path (leading ``/``): one fold,
+    ``..`` pops, ``.`` and trailing dot-segments keep directory form."""
+    parts = F.split(F.substring(path, 2, 2_000_000_000), "/")
+    folded = F.aggregate(
+        parts,
+        F.array().cast("array<string>"),
+        lambda acc, p: F.when(p == "..", F.slice(acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))))
+        .when(p == ".", acc)
+        .otherwise(F.array_append(acc, p)),
+    )
+    # a trailing '.' or '..' resolves to a directory → restore the slash
+    last = F.element_at(parts, -1)
+    folded = F.when(
+        last.isin(".", ".."), F.array_append(folded, F.lit(""))
+    ).otherwise(folded)
+    return F.concat(F.lit("/"), F.array_join(folded, "/"))
+
+
+def resolve_ref(base: Column, ref: Column) -> Column:
+    """Absolute http(s) URL for reference ``ref`` against ``base``
+    (fragment dropped), or NULL for non-http(s) schemes.
+
+    Implements RFC 3986 §5.3 composition for the reference classes a
+    crawler meets; ``base`` must be absolute http(s).
+    """
+    r = F.trim(ref)
+    # strip any fragment from the reference up front
+    r_nofrag = F.regexp_extract(r, "^([^#]*)", 1)
+    r_path = F.regexp_extract(r_nofrag, "^([^?]*)", 1)
+    r_query = F.substring_index(
+        F.when(F.instr(r_nofrag, "?") > 0, F.concat(F.lit("?"), F.substring_index(r_nofrag, "?", -1)))
+        .otherwise(F.lit("")),
+        "#",
+        1,
+    )
+
+    b_nofrag = F.regexp_extract(base, "^([^#]*)", 1)
+    b_scheme = F.lower(F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    b_root = F.regexp_extract(b_nofrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    b_path = F.regexp_extract(b_nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    # base directory: up to and including the last '/' (or '/' if none)
+    b_dir = F.when(
+        F.instr(b_path, "/") > 0,
+        F.regexp_extract(b_path, "^(.*/)", 1),
+    ).otherwise(F.lit("/"))
+
+    has_scheme = r.rlike(_SCHEME_RX)
+    r_scheme = F.lower(F.regexp_extract(r, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+
+    return (
+        F.when(
+            has_scheme,
+            F.when(r_scheme.isin("http", "https"), r_nofrag).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .when(r.startswith("//"), F.concat(b_scheme, F.lit(":"), r_nofrag))
+        .when(r_nofrag == "", b_nofrag)
+        .when(
+            r.startswith("?"),
+            F.concat(b_root, F.when(b_path == "", F.lit("/")).otherwise(b_path), r_query),
+        )
+        .when(
+            r.startswith("/"),
+            F.concat(b_root, _remove_dot_segments(r_path), r_query),
+        )
+        .otherwise(
+            F.concat(
+                b_root,
+                _remove_dot_segments(F.concat(b_dir, r_path)),
+                r_query,
+            )
+        )
+    )
+
+
+def outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, dst_url): every resolvable http(s) outlink of every
+    page — explode of the href array, resolved against the page URL.
+    Pure map stage; dedupe/canonicalize downstream."""
+    return (
+        pages.select(
+            F.col(url_col).alias("src_url"),
+            F.explode(extract_hrefs(F.col(html_col))).alias("_ref"),
+        )
+        .select(
+            "src_url",
+            resolve_ref(F.col("src_url"), F.col("_ref")).alias("dst_url"),
+        )
+        .where(F.col("dst_url").isNotNull())
+    )

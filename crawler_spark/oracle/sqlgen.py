@@ -1208,6 +1208,32 @@ SELECT urlkey, ts, url, digest FROM lagd
 WHERE prev IS NULL OR prev <> digest"""
 
 
+def sql_outlink_extract() -> str:
+    """Twin of __spark_entry__._q_outlink_extract: every resolved
+    outlink reconstructed closed-form (the Spark side parses anchor
+    tags and runs the RFC 3986 fold for real)."""
+    return """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 AS VARCHAR) AS g,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com'
+           AS root,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.example.com/a/b/page' || CAST(doc_id AS VARCHAR) || '.html'
+           AS src
+  FROM documents
+)
+SELECT src AS src_url, root || '/root' || g || '.html' AS dst_url FROM p
+UNION ALL
+SELECT src, root || '/a/up' || CAST(doc_id AS VARCHAR) || '.html' FROM p
+UNION ALL
+SELECT src, root || '/a/b/rel/deep.html' FROM p
+UNION ALL
+SELECT src, 'https://cdn' || g || '.example.net/x' FROM p
+UNION ALL
+SELECT src, src || '?q=' || CAST(doc_id AS VARCHAR) FROM p"""
+
+
 def sql_dsir_select() -> str:
     """Twin of operators/dsir.dsir_select: hashed-bigram importance
     scores (same h64-mod-bucket features, Laplace-smoothed integer
