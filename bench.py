@@ -681,7 +681,7 @@ R3_OPS = [
     "sitemap_recrawl", "shuffle_layout", "main_text", "dupe_census",
     "politeness_audit", "trap_detect", "host_link_summary",
     "quantize_embeddings", "cdx_collapse_digest", "cdx_collapse_time",
-    "robots_wildcard", "fetch_timetable",
+    "robots_wildcard", "fetch_timetable", "dsir_select", "outlink_extract",
 ]
 
 
