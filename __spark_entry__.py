@@ -555,6 +555,27 @@ def _q_outlink_extract(spark, sf_dir):
     return outlinks(pages)
 
 
+def _q_mirror_detect(spark, sf_dir):
+    """Mirror-site detection (operators/mirrors.py): even docs are
+    replicated onto a mirror{g} host, so every (mirror{g}, site{g})
+    pair shares exactly the even digests — containment 1000 pm of the
+    smaller host. Hot-digest cap bounds the self-join fan-out; totals
+    broadcast back; all integers."""
+    from crawler_spark.operators.mirrors import mirror_report
+
+    d = _t(spark, sf_dir, "documents")
+    gs = (F.col("doc_id") % 50).cast("string")
+    site = d.select(
+        F.concat(F.lit("site"), gs, F.lit(".example.com")).alias("host"),
+        F.md5("text").alias("digest"),
+    )
+    mirror = d.where(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("mirror"), gs, F.lit(".example.com")).alias("host"),
+        F.md5("text").alias("digest"),
+    )
+    return mirror_report(site.unionByName(mirror))
+
+
 def _q_dsir_select(spark, sf_dir):
     """DSIR-shaped importance selection (operators/dsir.py, Xie et al.
     NeurIPS 2023): hashed-bigram target/raw ratio model — 4096-bucket
@@ -1308,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_timetable": _q_fetch_timetable,
         "dsir_select": _q_dsir_select,
         "outlink_extract": _q_outlink_extract,
+        "mirror_detect": _q_mirror_detect,
     }
 
 
@@ -1465,4 +1487,5 @@ GROUP BY source""",
         "fetch_timetable": SG.sql_fetch_timetable(),
         "dsir_select": SG.sql_dsir_select(),
         "outlink_extract": SG.sql_outlink_extract(),
+        "mirror_detect": SG.sql_mirror_detect(),
     }

@@ -84,12 +84,12 @@ def resolve_ref(base: Column, ref: Column) -> Column:
     # strip any fragment from the reference up front
     r_nofrag = F.regexp_extract(r, "^([^#]*)", 1)
     r_path = F.regexp_extract(r_nofrag, "^([^?]*)", 1)
-    r_query = F.substring_index(
-        F.when(F.instr(r_nofrag, "?") > 0, F.concat(F.lit("?"), F.substring_index(r_nofrag, "?", -1)))
-        .otherwise(F.lit("")),
-        "#",
-        1,
-    )
+    # query = everything from the FIRST '?' (a query may itself contain
+    # further '?' characters — they are literal)
+    r_query = F.when(
+        F.instr(r_nofrag, "?") > 0,
+        F.substring(r_nofrag, F.instr(r_nofrag, "?"), F.lit(2_000_000_000)),
+    ).otherwise(F.lit(""))
 
     b_nofrag = F.regexp_extract(base, "^([^#]*)", 1)
     b_scheme = F.lower(F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1))

@@ -1234,6 +1234,50 @@ UNION ALL
 SELECT src, src || '?q=' || CAST(doc_id AS VARCHAR) FROM p"""
 
 
+def sql_mirror_detect() -> str:
+    """Twin of operators/mirrors.mirror_report over the planted-mirror
+    capture store (even docs replicated onto mirror{g} hosts)."""
+    from crawler_spark.operators.mirrors import (
+        MIRROR_MAX_HOSTS,
+        MIRROR_MIN_PM,
+        MIRROR_MIN_SHARED,
+    )
+
+    return f"""
+WITH caps AS (
+  SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+         md5(text) AS digest
+  FROM documents
+  UNION ALL
+  SELECT 'mirror' || CAST(doc_id % 50 AS VARCHAR) || '.example.com',
+         md5(text)
+  FROM documents WHERE doc_id % 2 = 0
+),
+hd AS (SELECT DISTINCT digest, host FROM caps),
+keep AS (
+  SELECT digest FROM hd GROUP BY digest
+  HAVING count(*) <= {MIRROR_MAX_HOSTS}
+),
+pruned AS (SELECT hd.* FROM hd JOIN keep USING (digest)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM pruned a JOIN pruned b USING (digest)
+  WHERE a.host < b.host
+  GROUP BY a.host, b.host
+  HAVING count(*) >= {MIRROR_MIN_SHARED}
+),
+totals AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n FROM hd GROUP BY host
+)
+SELECT host_a, host_b, n_shared, ta.n AS n_a, tb.n AS n_b,
+       n_shared * 1000 // least(ta.n, tb.n) AS containment_pm,
+       n_shared * 1000 // least(ta.n, tb.n) >= {MIRROR_MIN_PM} AS is_mirror
+FROM pairs
+JOIN totals ta ON ta.host = host_a
+JOIN totals tb ON tb.host = host_b"""
+
+
 def sql_dsir_select() -> str:
     """Twin of operators/dsir.dsir_select: hashed-bigram importance
     scores (same h64-mod-bucket features, Laplace-smoothed integer

@@ -22,8 +22,9 @@ REFS = [
     "../../../g", "../../../../g", "/./g", "/../g", "g.", ".g", "g..",
     "..g", "./../g", "./g/.", "g/./h", "g/../h", "g;x=1/./y",
     "g;x=1/../y", "g?y/./x", "g#s/./x",
-    # crawl extras: ports, deep bases handled via second base below
-    "//h:8080/x", "sub/page.html?a=1#frag",
+    # crawl extras: ports, literal '?' inside the query, deep bases
+    # handled via second base below
+    "//h:8080/x", "sub/page.html?a=1#frag", "g?a?b", "?x?y",
 ]
 
 
