@@ -555,6 +555,83 @@ def _q_outlink_extract(spark, sf_dir):
     return outlinks(pages)
 
 
+def _q_nofollow_outlinks(spark, sf_dir):
+    """Crawl directives (functions/directives.py): meta-robots
+    noindex/nofollow and per-anchor rel=nofollow decide what enters the
+    frontier and the results — synthetic pages cycle through plain,
+    meta-nofollow, link-nofollow and meta-noindex shapes (m = doc_id %
+    4), all regexp/array JVM expressions; the oracle derives each
+    page's verdict and follow-count arithmetically."""
+    from crawler_spark.functions.directives import extract_links, meta_robots
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    html = (
+        F.when(m == 1, F.lit('<meta name="robots" content="nofollow">'))
+        .when(m == 3, F.lit("<meta content='noindex' name='robots'>"))
+        .otherwise(F.lit(""))
+    )
+    links = (
+        F.when(
+            m == 2,
+            F.lit('<a href="/keep">k</a><a rel="nofollow" href="/skip">s</a>'),
+        )
+        .otherwise(F.lit('<a href="/one">1</a><a href="/two">2</a>'))
+    )
+    pages = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("<html><head>"), html, F.lit("</head><body>"),
+                 links, F.lit("</body></html>")).alias("html"),
+    )
+    mr = meta_robots(F.col("html"))
+    lk = extract_links(F.col("html"))
+    n_follow = F.filter(lk, lambda s: ~s["nofollow"])
+    return pages.select(
+        "doc_id",
+        mr["noindex"].alias("noindex"),
+        mr["nofollow"].alias("page_nofollow"),
+        F.size(lk).cast("long").alias("n_links"),
+        F.when(mr["nofollow"], F.lit(0))
+        .otherwise(F.size(n_follow))
+        .cast("long")
+        .alias("n_follow"),
+    )
+
+
+def _q_canonical_cluster(spark, sf_dir):
+    """rel=canonical duplicate clustering (functions/directives.py +
+    links.resolve_ref): even docs advertise a shared per-group
+    canonical (resolved from a root-relative href), odd docs are
+    self-canonical — clusters = one shared group per g plus
+    singletons; one groupBy on the resolved canonical (partial agg,
+    min_by representative)."""
+    from crawler_spark.functions.directives import canonical_href
+    from crawler_spark.functions.links import resolve_ref
+
+    d = _t(spark, sf_dir, "documents")
+    gs = (F.col("doc_id") % 50).cast("string")
+    url = F.concat(
+        F.lit("https://site"), gs, F.lit(".example.com/v/"),
+        F.col("doc_id").cast("string"), F.lit("?utm=x"),
+    )
+    html = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<link rel="canonical" href="/page'), gs, F.lit('">')),
+    ).otherwise(F.lit("<p>self-canonical</p>"))
+    pages = d.select(url.alias("url"), html.alias("html"))
+    canon = F.coalesce(
+        resolve_ref(F.col("url"), canonical_href(F.col("html"))), F.col("url")
+    )
+    return (
+        pages.select(canon.alias("canonical"), "url")
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("url").alias("representative"),
+        )
+    )
+
+
 def _q_mirror_detect(spark, sf_dir):
     """Mirror-site detection (operators/mirrors.py): even docs are
     replicated onto a mirror{g} host, so every (mirror{g}, site{g})
@@ -1330,6 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "outlink_extract": _q_outlink_extract,
         "mirror_detect": _q_mirror_detect,
+        "nofollow_outlinks": _q_nofollow_outlinks,
+        "canonical_cluster": _q_canonical_cluster,
     }
 
 
@@ -1488,4 +1567,6 @@ GROUP BY source""",
         "dsir_select": SG.sql_dsir_select(),
         "outlink_extract": SG.sql_outlink_extract(),
         "mirror_detect": SG.sql_mirror_detect(),
+        "nofollow_outlinks": SG.sql_nofollow_outlinks(),
+        "canonical_cluster": SG.sql_canonical_cluster(),
     }

@@ -1234,6 +1234,44 @@ UNION ALL
 SELECT src, src || '?q=' || CAST(doc_id AS VARCHAR) FROM p"""
 
 
+def sql_nofollow_outlinks() -> str:
+    """Twin of __spark_entry__._q_nofollow_outlinks: every directive
+    verdict is closed-form in m = doc_id % 4 (the Spark side genuinely
+    regexp-parses meta tags and anchor rel attributes)."""
+    return """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       doc_id % 4 = 3 AS noindex,
+       doc_id % 4 = 1 AS page_nofollow,
+       CAST(2 AS BIGINT) AS n_links,
+       CAST(CASE doc_id % 4 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE 2 END
+            AS BIGINT) AS n_follow
+FROM documents"""
+
+
+def sql_canonical_cluster() -> str:
+    """Twin of __spark_entry__._q_canonical_cluster: even docs map to
+    the shared per-group canonical (the Spark side extracts and
+    RFC 3986-resolves the root-relative href for real), odd docs are
+    self-canonical singletons."""
+    return """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) AS g,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/v/'
+           || CAST(doc_id AS VARCHAR) || '?utm=x' AS url
+  FROM documents
+),
+c AS (
+  SELECT CASE WHEN doc_id % 2 = 0
+              THEN 'https://site' || g || '.example.com/page' || g
+              ELSE url END AS canonical,
+         url
+  FROM p
+)
+SELECT canonical, CAST(count(*) AS BIGINT) AS n_members,
+       min(url) AS representative
+FROM c GROUP BY canonical"""
+
+
 def sql_mirror_detect() -> str:
     """Twin of operators/mirrors.mirror_report over the planted-mirror
     capture store (even docs replicated onto mirror{g} hosts)."""
