@@ -119,44 +119,66 @@ def robots_from_bodies(
     )
 
 
-def parse_robots_rules(txt: Column) -> Column:
-    """``array<struct<pattern string, allow boolean>>`` — the ``*``
-    group's Allow AND Disallow rules in file order (the full RFC 9309
-    rule set; :func:`parse_robots` stays the cheap prefix-only gate).
+def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
+    """``array<struct<pattern string, allow boolean>>`` — the Allow AND
+    Disallow rules applying to ``agent``, in file order (the full
+    RFC 9309 rule set; :func:`parse_robots` stays the cheap prefix-only
+    gate).
 
-    Same group semantics as :func:`parse_robots` (runs of User-agent
-    headers, a group applies when any header is ``*``); empty-value
-    rules are ignored per the de-facto standard (an empty Disallow is
-    allow-all, an empty Allow matches nothing).
+    Group selection per RFC 9309 §2.2.1: with ``agent`` given, groups
+    whose ``User-agent`` token equals it case-insensitively are the
+    MOST SPECIFIC match and, if ANY exists, only their rules apply —
+    even when they contain no rules (an addressed-but-empty group means
+    allow-all, NOT fall back to ``*``). Otherwise the ``*`` groups
+    apply. ``agent=None`` selects the ``*`` groups directly. Token
+    matching is exact equality (the spec's product-token match; we do
+    not implement Google's longest-prefix extension).
+
+    Same line tolerance as :func:`parse_robots`; empty-value rules are
+    ignored per the de-facto standard (an empty Disallow is allow-all,
+    an empty Allow matches nothing).
     """
     key, val = _key, _val
+    agent_lc = agent.lower() if agent is not None else None
 
     def step(acc, ln):
         k, v = key(ln), val(ln)
         is_ua = k == "user-agent"
-        new_applies = F.when(
-            is_ua & acc["in_header"], acc["applies"] | (v == "*")
-        ).otherwise(v == "*")
-        applies = F.when(is_ua, new_applies).otherwise(acc["applies"])
-        is_rule = ~is_ua & acc["applies"] & (F.length(v) > 0)
-        add_allow = is_rule & (k == "allow")
-        add_dis = is_rule & (k == "disallow")
-        entry = F.struct(
-            v.alias("pattern"), (k == "allow").alias("allow")
+        star_hit = v == "*"
+        exact_hit = (
+            F.lit(False) if agent_lc is None else (F.lower(v) == agent_lc)
         )
-        rules = F.when(
-            add_allow | add_dis, F.array_append(acc["rules"], entry)
-        ).otherwise(acc["rules"])
+
+        def applies(prev, hit):
+            grown = F.when(is_ua & acc["in_header"], prev | hit).otherwise(hit)
+            return F.when(is_ua, grown).otherwise(prev)
+
+        ap_star = applies(acc["star_on"], star_hit)
+        ap_exact = applies(acc["exact_on"], exact_hit)
+        saw_exact = acc["saw_exact"] | (is_ua & exact_hit)
+
+        is_rule = ~is_ua & (F.length(v) > 0) & ((k == "allow") | (k == "disallow"))
+        entry = F.struct(v.alias("pattern"), (k == "allow").alias("allow"))
+
+        def collect(prev, on):
+            return F.when(is_rule & on, F.array_append(prev, entry)).otherwise(prev)
+
         return F.struct(
             is_ua.alias("in_header"),
-            applies.alias("applies"),
-            rules.alias("rules"),
+            ap_star.alias("star_on"),
+            ap_exact.alias("exact_on"),
+            saw_exact.alias("saw_exact"),
+            collect(acc["star_rules"], acc["star_on"]).alias("star_rules"),
+            collect(acc["exact_rules"], acc["exact_on"]).alias("exact_rules"),
         )
 
     init = F.struct(
         F.lit(False).alias("in_header"),
-        F.lit(False).alias("applies"),
-        F.array().cast(RULES_TYPE).alias("rules"),
+        F.lit(False).alias("star_on"),
+        F.lit(False).alias("exact_on"),
+        F.lit(False).alias("saw_exact"),
+        F.array().cast(RULES_TYPE).alias("star_rules"),
+        F.array().cast(RULES_TYPE).alias("exact_rules"),
     )
     return F.aggregate(
         F.filter(
@@ -165,7 +187,9 @@ def parse_robots_rules(txt: Column) -> Column:
         ),
         init,
         step,
-        lambda acc: acc["rules"],
+        lambda acc: F.when(acc["saw_exact"], acc["exact_rules"]).otherwise(
+            acc["star_rules"]
+        ),
     )
 
 
@@ -226,12 +250,16 @@ def rfc9309_match(path: Column, rules: Column) -> Column:
 
 
 def robots_rules_from_bodies(
-    df: DataFrame, host_col: str = "host", body_col: str = "robots_txt"
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    agent: str | None = None,
 ) -> DataFrame:
-    """(host, rules) — the shape operators/robots.gate_rfc9309 consumes."""
+    """(host, rules) — the shape operators/robots.gate_rfc9309 consumes.
+    ``agent`` selects the most-specific group (see parse_robots_rules)."""
     return df.select(
         F.col(host_col).alias("host"),
-        parse_robots_rules(F.col(body_col)).alias("rules"),
+        parse_robots_rules(F.col(body_col), agent=agent).alias("rules"),
     )
 
 

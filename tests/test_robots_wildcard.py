@@ -120,6 +120,57 @@ def test_gate_rfc9309_join(spark):
     assert got[("h2", "/priv/x")] == (True, None)  # unknown host
 
 
+AGENT_BODY = (
+    "User-agent: googlebot\nDisallow: /goog\n\n"
+    "User-agent: *\nDisallow: /all\n\n"
+    "User-agent: GoogleBot\nDisallow: /goog2\n"
+)
+
+
+def _rules(spark, body, agent):
+    df = spark.createDataFrame([(body,)], "body string")
+    out = df.select(
+        parse_robots_rules(F.col("body"), agent=agent).alias("r")
+    ).collect()[0]["r"]
+    return [(r["pattern"], r["allow"]) for r in out]
+
+
+def test_agent_group_selection(spark):
+    # exact-agent groups (case-insensitive, merged across the file) win
+    assert _rules(spark, AGENT_BODY, "googlebot") == [
+        ("/goog", False),
+        ("/goog2", False),
+    ]
+    # unknown agent falls back to the * group
+    assert _rules(spark, AGENT_BODY, "bingbot") == [("/all", False)]
+    # agent=None selects * directly
+    assert _rules(spark, AGENT_BODY, None) == [("/all", False)]
+
+
+def test_addressed_empty_group_means_allow_all(spark):
+    # a group that names the agent but has no rules must NOT fall back
+    # to the * group's restrictions (RFC 9309 §2.2.1); the empty group
+    # comes AFTER a rule-terminated group — per the RFC grammar, UA
+    # lines separated only by blank lines would MERGE into one group
+    body = "User-agent: *\nDisallow: /\n\nUser-agent: mybot\n"
+    assert _rules(spark, body, "mybot") == []
+    assert _rules(spark, body, "other") == [("/", False)]
+
+
+def test_blank_separated_ua_lines_merge(spark):
+    # RFC 9309 grammar: startgrouplines with only emptylines between
+    # them form ONE group — mybot shares the * group's rule here
+    body = "User-agent: mybot\n\nUser-agent: *\nDisallow: /\n"
+    assert _rules(spark, body, "mybot") == [("/", False)]
+
+
+def test_shared_group_header(spark):
+    # one rule block under two UA lines applies to both
+    body = "User-agent: a\nUser-agent: *\nDisallow: /x\n"
+    assert _rules(spark, body, "a") == [("/x", False)]
+    assert _rules(spark, body, None) == [("/x", False)]
+
+
 def test_gate_rfc9309_none_rules(spark):
     cands = spark.createDataFrame([("h1", "/x")], "host string, path string")
     row = gate_rfc9309(cands, None).collect()[0]
