@@ -389,6 +389,15 @@ def _q_ann_lsh(spark, sf_dir):
     return SIM.lsh_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_ann_recall(spark, sf_dir):
+    """ANN index self-evaluation (operators/similarity.ann_recall):
+    recall@k of IVF-Flat vs exact brute-force ground truth on the same
+    query set — the measured answer to "is nprobe high enough", scored
+    in integer per-mille. At corpus scale ground truth runs on a query
+    sample only."""
+    return SIM.ann_recall(_t(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS)
+
+
 # ---------------------------------------------------------- EP1 targeted --
 
 CDX_FROM_TS = "20260101000100"  # doc_id >= 60
@@ -1354,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": _q_centroids,
         "ann_lsh_neardups": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "cdx_domain_select": _q_cdx_domain_select,
         "per_domain_headk": _q_per_domain_headk,
         "targeted_classify": _q_targeted_classify,
@@ -1509,6 +1519,7 @@ GROUP BY source""",
         "embedding_centroids": SG.sql_centroids(),
         "ann_lsh_neardups": SG.sql_ann_lsh(),
         "ann_ivf_topk": SG.sql_ivf_topk(TOPK_QUERY_IDS, nprobe=SIM.IVF_NPROBE),
+        "ann_recall": SG.sql_ann_recall(TOPK_QUERY_IDS, nprobe=SIM.IVF_NPROBE),
         "cdx_domain_select": SG.sql_cdx_domain_select(CDX_FROM_TS, CDX_TO_TS),
         "per_domain_headk": SG.sql_per_domain_headk(PER_DOMAIN_K),
         "targeted_classify": SG.sql_targeted_classify(CDX_FROM_TS),

@@ -389,3 +389,42 @@ def quantize_embeddings(
             ),
         )
     )
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = TOPK_K,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, k_eff, hits, recall_pm): recall@k of the IVF-Flat
+    index against exact brute-force ground truth, per query.
+
+    The standard ANN quality harness (measure, don't guess): run the
+    SAME queries through :func:`ivf_topk` and :func:`cosine_topk` and
+    count how many exact top-k neighbors the index returned. At corpus
+    scale the ground truth is computed for a SAMPLE of queries only —
+    exact search is O(corpus) per query, which is precisely why the
+    index exists; the sample bounds that cost while still estimating
+    recall. recall is integer per-mille of ``k_eff`` (the exact list's
+    size — < k when the corpus is small), so the report is bit-stable.
+    """
+    exact = cosine_topk(emb, query_ids, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(emb, query_ids, k, nprobe, id_col, vec_col).select(
+        "query_id", F.col("neighbor_id").alias("_approx_n")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["_approx_n"]),
+        "left",
+    ).select(exact["query_id"].alias("query_id"), "_approx_n")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.count("_approx_n").alias("hits"),
+        F.expr("count(_approx_n) * 1000 div count(*)").alias("recall_pm"),
+    )

@@ -542,6 +542,23 @@ WITH agg AS (
 SELECT label, n_vecs, round(sqrt({sq}), 4) AS centroid_norm FROM agg"""
 
 
+def sql_ann_recall(query_ids: list[int], k: int = TOPK_K, nprobe: int = 2) -> str:
+    """Twin of operators/similarity.ann_recall: recall@k of the IVF
+    oracle against the exact-top-k oracle — composed from the two
+    existing twins as nested-WITH subqueries so the three queries can
+    never drift apart."""
+    return f"""
+WITH exact AS ({sql_cosine_topk(query_ids, k)}),
+approx AS ({sql_ivf_topk(query_ids, k, nprobe)})
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS k_eff,
+       CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+       count(a.neighbor_id) * 1000 // count(*) AS recall_pm
+FROM exact e LEFT JOIN approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id"""
+
+
 def sql_ann_lsh(threshold: float = NEARDUP_COSINE) -> str:
     planes = hyperplanes(NUM_PLANES, EMBED_DIM)
     plane_lits = [
