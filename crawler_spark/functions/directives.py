@@ -5,7 +5,9 @@ Nutch both implement them).
 
 - ``meta_robots(html)`` → struct(noindex, nofollow): a ``noindex``
   page is fetched but excluded from results; a ``nofollow`` page
-  contributes NO outlinks to the frontier.
+  contributes NO outlinks to the frontier. Multiple robots meta tags
+  combine most-restrictively (the REP rule), and bare (unquoted)
+  content values are accepted.
 - ``extract_links(html)`` → array<struct<href, nofollow>>: per-anchor
   rel=nofollow (link-level frontier exclusion / zero link-graph
   weight).
@@ -15,9 +17,12 @@ Nutch both implement them).
   at all), and search-engine pipelines apply it before any similarity
   pass.
 
-All pure JVM regexp/array expressions (map stage, no UDF), same policy
-as functions/links.py. Matching is tolerant the way crawlers are:
-case-insensitive tags/attrs, both quote styles, attribute order free.
+All pure JVM regexp/array expressions (map stage, no UDF). The href
+VALUE grammar is imported from functions/links.py (one source of
+truth); attribute NAMES are matched at whitespace boundaries so
+``data-href`` / ``barrel=`` / ``rel=`` inside a URL value never count.
+Matching is tolerant the way crawlers are: case-insensitive tags and
+attrs, both quote styles, attribute order free.
 """
 
 from __future__ import annotations
@@ -25,45 +30,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.links import HREF_ATTR_RX, unquote_href
+
 # all <a ...> attribute strings
 _A_TAG_RX = r"(?i)<a\s([^>]*)>"
-# href value out of ONE tag's attribute string
-_HREF_IN_TAG_RX = r"""(?i)href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>'"]+))"""
-# rel attribute containing the nofollow token
-_NOFOLLOW_RX = r"""(?i)rel\s*=\s*["']?[^"'>]*\bnofollow\b"""
-# <meta name=robots content=...> in either attribute order
+# rel attribute (at a name boundary) containing the nofollow token
+_NOFOLLOW_RX = r"""(?i)(?<=\s)rel\s*=\s*["']?[^"'>]*\bnofollow\b"""
+# <meta name=robots content=...> in either attribute order, quoted or
+# bare values; group 1 = the whole content value token
 _META_ROBOTS_RX = (
-    r"""(?i)<meta\s(?=[^>]*name\s*=\s*["']?robots["'\s>])"""
-    r"""[^>]*content\s*=\s*(?:"([^"]*)"|'([^']*)')"""
+    r"""(?i)<meta\s(?=[^>]*(?<=[\s"'])name\s*=\s*["']?robots["'\s/>])"""
+    r"""[^>]*(?<=[\s"'])content\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
 )
-# <link rel=canonical href=...> in either attribute order
-_CANONICAL_RX = (
-    r"""(?i)<link\s(?=[^>]*rel\s*=\s*["']?canonical["'\s>])"""
-    r"""[^>]*href\s*=\s*(?:"([^"]*)"|'([^']*)')"""
-)
-
-
-def _first_group(*cols: Column) -> Column:
-    out = cols[0]
-    for c in cols[1:]:
-        out = F.when(F.length(out) > 0, out).otherwise(c)
-    return out
 
 
 def meta_robots(html: Column) -> Column:
     """struct(noindex boolean, nofollow boolean) from the page's
-    ``<meta name="robots">`` content tokens (absent tag → both false)."""
+    ``<meta name="robots">`` content tokens. Absent tag → both false;
+    several robots tags union their directives (most restrictive
+    wins, per the REP)."""
     h = F.coalesce(html, F.lit(""))
-    content = F.lower(
-        _first_group(
-            F.regexp_extract(h, _META_ROBOTS_RX, 1),
-            F.regexp_extract(h, _META_ROBOTS_RX, 2),
-        )
+    contents = F.transform(
+        F.regexp_extract_all(h, F.lit(_META_ROBOTS_RX), 1),
+        lambda t: F.lower(unquote_href(t)),
     )
-    tok = lambda t: content.rlike(rf"(^|[\s,]){t}([\s,]|$)")  # noqa: E731
+    tok = lambda c, t: c.rlike(rf"(^|[\s,]){t}([\s,]|$)")  # noqa: E731
     return F.struct(
-        (tok("noindex") | tok("none")).alias("noindex"),
-        (tok("nofollow") | tok("none")).alias("nofollow"),
+        F.exists(contents, lambda c: tok(c, "noindex") | tok(c, "none")).alias(
+            "noindex"
+        ),
+        F.exists(contents, lambda c: tok(c, "nofollow") | tok(c, "none")).alias(
+            "nofollow"
+        ),
     )
 
 
@@ -71,16 +69,17 @@ def extract_links(html: Column) -> Column:
     """array<struct<href string, nofollow boolean>> — one entry per
     anchor tag with an href; per-link rel=nofollow flag."""
     tags = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_A_TAG_RX), 1)
+    # the attrs string starts right AFTER '<a ', so prepend one space
+    # to give the first attribute the boundary the grammar requires
+    padded = lambda t: F.concat(F.lit(" "), t)  # noqa: E731
     return F.filter(
         F.transform(
             tags,
             lambda t: F.struct(
-                _first_group(
-                    F.regexp_extract(t, _HREF_IN_TAG_RX, 1),
-                    F.regexp_extract(t, _HREF_IN_TAG_RX, 2),
-                    F.regexp_extract(t, _HREF_IN_TAG_RX, 3),
+                unquote_href(
+                    F.regexp_extract(padded(t), HREF_ATTR_RX, 1)
                 ).alias("href"),
-                t.rlike(_NOFOLLOW_RX).alias("nofollow"),
+                padded(t).rlike(_NOFOLLOW_RX).alias("nofollow"),
             ),
         ),
         # keep only anchors that actually carry an href (unlike
@@ -92,13 +91,17 @@ def extract_links(html: Column) -> Column:
     )
 
 
+# <link rel=canonical href=...> in either attribute order
+_CANONICAL_RX = (
+    r"""(?i)<link\s(?=[^>]*(?<=[\s"'])rel\s*=\s*["']?canonical["'\s/>])"""
+    r"""[^>]*(?<=[\s"'])href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
+)
+
+
 def canonical_href(html: Column) -> Column:
     """The raw ``<link rel="canonical">`` href (first one wins, as
     browsers and crawlers do), or NULL when absent; resolve with
     links.resolve_ref against the page URL."""
     h = F.coalesce(html, F.lit(""))
-    raw = _first_group(
-        F.regexp_extract(h, _CANONICAL_RX, 1),
-        F.regexp_extract(h, _CANONICAL_RX, 2),
-    )
+    raw = unquote_href(F.regexp_extract(h, _CANONICAL_RX, 1))
     return F.when(F.length(raw) > 0, raw)

@@ -32,26 +32,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# href="..." / href='...' / href=bare — case-insensitive, <a> tags only
-_HREF_RX = r"""(?i)<a\s[^>]*?href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>'"]+))"""
+# The shared href-attribute grammar (also consumed by
+# functions/directives.py so the two parsers can never drift): the
+# attribute NAME must sit at a whitespace boundary — without the
+# lookbehind, 'data-href="/t"' would satisfy the match and steal the
+# real href. Group 1 is the whole VALUE TOKEN (quotes included for the
+# quoted forms); unquote_href strips them.
+HREF_ATTR_RX = r"""(?i)(?<=\s)href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
+# href="..." / href='...' / href=bare inside an <a> tag
+_HREF_RX = r"""(?i)<a\s[^>]*?(?<=[\s"'])href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
 
 _SCHEME_RX = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+
+def unquote_href(token: Column) -> Column:
+    """Strip the surrounding quotes from an href value token matched by
+    the grammar above (bare tokens pass through)."""
+    quoted = token.startswith('"') | token.startswith("'")
+    return F.when(
+        quoted, F.substring(token, F.lit(2), F.length(token) - 2)
+    ).otherwise(token)
 
 
 def extract_hrefs(html: Column) -> Column:
     """``array<string>`` of raw href values from anchor tags (both
     quote styles and bare values; empty hrefs kept — the resolver maps
-    them to the base). NULL html → empty array."""
-    quoted2 = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 2)
-    quoted1 = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 3)
-    bare = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 4)
-    # the three capture groups are mutually exclusive per match; zip
-    # them positionally and take whichever is non-empty
-    return F.zip_with(
-        F.zip_with(quoted2, quoted1, lambda a, b: F.when(F.length(a) > 0, a).otherwise(b)),
-        bare,
-        lambda ab, c: F.when(F.length(ab) > 0, ab).otherwise(c),
-    )
+    them to the base). NULL html → empty array. ONE regex scan of the
+    page (this is the hot per-page map stage); unquoting is a cheap
+    per-element transform."""
+    tokens = F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(_HREF_RX), 1)
+    return F.transform(tokens, unquote_href)
 
 
 def _remove_dot_segments(path: Column) -> Column:

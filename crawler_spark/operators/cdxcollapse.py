@@ -59,7 +59,7 @@ def collapse_timestamp(
     digits: int,
     key: str = "urlkey",
     ts: str = "ts",
-    payload: tuple[str, ...] = ("ts", "url", "digest"),
+    payload: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """``collapse=timestamp:digits``: first capture per urlkey per
     distinct ``digits``-long timestamp prefix.
@@ -68,7 +68,12 @@ def collapse_timestamp(
     adjacent-first walk because the prefix is monotone in ts, but
     executed as a partial aggregate (``min_by``) instead of a window —
     no per-group sort, map-side combine does most of the work.
+    ``payload`` defaults to whichever of (ts, url, digest) the frame
+    carries — url-less CDX projections are supported, same as
+    :func:`collapse_digest`.
     """
+    if payload is None:
+        payload = tuple(c for c in (ts, "url", "digest") if c in cdx.columns)
     row = F.struct(*[F.col(c) for c in payload])
     ordk = F.struct(F.col(ts), *([F.col("url")] if "url" in cdx.columns else []))
     return (

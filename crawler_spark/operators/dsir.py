@@ -129,7 +129,9 @@ def dsir_select(
     per-row scalar subquery, no single-partition window. Past ~10^9
     docs swap in ``percentile_approx`` with the same schema.
     """
-    scored = dsir_scores(docs, target_source)
+    # persist: the quantile agg EXECUTES the whole 3-pass scoring
+    # pipeline; without the cache the returned frame recomputes it all
+    scored = dsir_scores(docs, target_source).persist()
     cut = scored.agg(
         F.expr(f"percentile(dsir_score, {keep_q!r})").alias("cut")
     ).collect()[0]["cut"]

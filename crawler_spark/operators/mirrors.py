@@ -34,17 +34,18 @@ MIRROR_MIN_SHARED = 2  # pairs sharing fewer digests are noise
 MIRROR_MIN_PM = 500  # containment >= 50% of the smaller host → mirror
 
 
-def mirror_candidates(
-    captures: DataFrame,
-    host_col: str = "host",
-    digest_col: str = "digest",
-    max_hosts: int = MIRROR_MAX_HOSTS,
+def _host_digests(
+    captures: DataFrame, host_col: str, digest_col: str
 ) -> DataFrame:
-    """(host_a, host_b, n_shared) for host pairs sharing ≥1 non-hot
-    digest, host_a < host_b."""
-    hd = captures.select(
+    """The distinct (digest, host) projection — built ONCE; candidates
+    and per-host totals both derive from it (one corpus scan + one
+    dedup shuffle, not two)."""
+    return captures.select(
         F.col(digest_col).alias("digest"), F.col(host_col).alias("host")
     ).distinct()
+
+
+def _candidates_from(hd: DataFrame, max_hosts: int) -> DataFrame:
     fanout = hd.groupBy("digest").agg(F.count(F.lit(1)).alias("_n"))
     keep = fanout.where(F.col("_n") <= max_hosts).select("digest")
     pruned = hd.join(keep, "digest")
@@ -53,6 +54,19 @@ def mirror_candidates(
     pairs = a.join(b, "digest").where(F.col("host_a") < F.col("host_b"))
     return pairs.groupBy("host_a", "host_b").agg(
         F.count(F.lit(1)).alias("n_shared")
+    )
+
+
+def mirror_candidates(
+    captures: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    max_hosts: int = MIRROR_MAX_HOSTS,
+) -> DataFrame:
+    """(host_a, host_b, n_shared) for host pairs sharing ≥1 non-hot
+    digest, host_a < host_b."""
+    return _candidates_from(
+        _host_digests(captures, host_col, digest_col), max_hosts
     )
 
 
@@ -67,17 +81,11 @@ def mirror_report(
     """(host_a, host_b, n_shared, n_a, n_b, containment_pm, is_mirror):
     candidate pairs scored by shared-digest containment of the smaller
     host (integer per-mille; totals count distinct digests per host)."""
-    cands = mirror_candidates(captures, host_col, digest_col, max_hosts).where(
+    hd = _host_digests(captures, host_col, digest_col).persist()
+    cands = _candidates_from(hd, max_hosts).where(
         F.col("n_shared") >= min_shared
     )
-    totals = (
-        captures.select(
-            F.col(host_col).alias("host"), F.col(digest_col).alias("digest")
-        )
-        .distinct()
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    totals = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
     j = (
         cands.join(
             F.broadcast(totals.select(F.col("host").alias("host_a"), F.col("n").alias("n_a"))),

@@ -24,6 +24,10 @@ def test_meta_robots_tokens(spark):
         '<meta content="noindex" name="robots">': (True, False),  # order-free
         '<meta name="viewport" content="noindex">': (False, False),  # wrong tag
         "<p>no meta at all</p>": (False, False),
+        "<meta name=robots content=noindex>": (True, False),  # bare values
+        # multiple robots tags combine most-restrictively (REP)
+        '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">': (True, True),
+        '<meta data-name="robots" content="noindex">': (False, False),  # name boundary
     }
     for html, (ni, nf) in cases.items():
         got = _one(spark, f"<html><head>{html}</head></html>", meta_robots)
@@ -52,6 +56,18 @@ def test_extract_links_nofollow(spark):
     )
     got = [(r["href"], r["nofollow"]) for r in _one(spark, html, extract_links)]
     assert got == [("/a", False), ("/b", True), ("/c", True), ("/d", False)]
+
+
+def test_attribute_name_boundaries(spark):
+    # data-href must not steal the real href; 'rel=' inside an href
+    # value or a 'barrel=' attribute must not mark the link nofollow
+    html = (
+        '<a data-href="/tracked" href="/real">x</a>'
+        '<a href="/x?rel=nofollow">y</a>'
+        '<a href="/y" barrel=nofollow>z</a>'
+    )
+    got = [(r["href"], r["nofollow"]) for r in _one(spark, html, extract_links)]
+    assert got == [("/real", False), ("/x?rel=nofollow", False), ("/y", False)]
 
 
 def test_canonical_href(spark):

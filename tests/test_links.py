@@ -74,6 +74,16 @@ def test_extract_hrefs(spark):
     assert arr == ["/abs/path", "single.html", "bare.html", "", "#frag", "mailto:x@y"]
 
 
+def test_extract_hrefs_name_boundary(spark):
+    # an attribute merely ENDING in 'href' (data-href) must not match —
+    # the real href must be extracted, not the tracking stub
+    df = spark.createDataFrame(
+        [('<a data-href="/tracked" href="/real">x</a>',)], "html string"
+    )
+    arr = df.select(extract_hrefs(F.col("html")).alias("a")).collect()[0]["a"]
+    assert arr == ["/real"]
+
+
 def test_outlinks_end_to_end(spark):
     pages = spark.createDataFrame(
         [("https://ex.com/dir/page.html", HTML), ("https://ex.com/p2", None)],

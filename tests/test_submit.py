@@ -6,16 +6,21 @@ Runs the real spark-submit binary from a non-repo cwd, so the
 cluster uses. One subprocess, ~30 s (its own JVM)."""
 
 import json
+import os
+import pathlib
 import shutil
 import subprocess
 
 import pytest
 
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
 
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
 def test_submit_py_files_roundtrip(tmp_path):
     out = subprocess.run(
-        ["/root/repo/tools/submit.sh", "4", "/root/testdata/sf0.001"],
+        [str(_REPO / "tools" / "submit.sh"), "4", _SF_DIR],
         cwd=tmp_path,  # NOT the repo: the package must come from the zip
         capture_output=True,
         text=True,
