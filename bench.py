@@ -682,7 +682,7 @@ R3_OPS = [
     "politeness_audit", "trap_detect", "host_link_summary",
     "quantize_embeddings", "cdx_collapse_digest", "cdx_collapse_time",
     "robots_wildcard", "fetch_timetable", "dsir_select", "outlink_extract",
-    "mirror_detect", "nofollow_outlinks", "canonical_cluster",
+    "mirror_detect", "nofollow_outlinks", "canonical_cluster", "ann_recall",
 ]
 
 

@@ -262,3 +262,40 @@ def stream_confidence_counts(
             "n",
         )
     )
+
+
+def stream_outlinks(
+    spark: SparkSession,
+    src_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental frontier feed: newly-arrived pages → resolved
+    outlink candidates, deduplicated within the watermark window.
+
+    Returns an unstarted streaming DataFrame of (src_url, warc_ts,
+    dst_url) the caller binds to a sink (the frontier's candidate
+    intake). Extraction + RFC 3986 resolution are the same pure-map
+    expressions as the batch path (functions/links.py); dedup uses
+    ``dropDuplicatesWithinWatermark`` on dst_url so state is BOUNDED by
+    the watermark horizon — this is duplicate *suppression* before the
+    frontier, not the URL-seen guarantee: exact global dedup remains
+    the frontier loop's Bloom-prefiltered anti-join, which this feed
+    merely keeps from re-processing the same link thousands of times
+    per window (nav links repeat on every page of a host).
+    """
+    from crawler_spark.functions.links import extract_hrefs, resolve_ref
+
+    pages = read_pages_stream(spark, src_dir).where(
+        F.col("rec_type") == "response"
+    )
+    refs = pages.select(
+        "url", "warc_ts", F.explode(extract_hrefs(F.col("text"))).alias("_r")
+    )
+    out = refs.select(
+        F.col("url").alias("src_url"),
+        "warc_ts",
+        resolve_ref(F.col("url"), F.col("_r")).alias("dst_url"),
+    ).where(F.col("dst_url").isNotNull())
+    return out.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["dst_url"]
+    )

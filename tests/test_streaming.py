@@ -204,3 +204,54 @@ def test_sink_runs_no_standalone_count_jobs(spark, tmp_path, monkeypatch):
     hist = json.load(open(f"{out}_state/state.json"))["history"]
     assert hist[0]["emitted"] > 0 and hist[1]["emitted"] == 0
     assert hist[1]["confirm_rows"] > 0
+
+
+@pytest.mark.spark
+def test_stream_outlinks_dedupes_within_watermark(spark, tmp_path):
+    """stream_outlinks resolves anchors from newly-arrived pages and
+    suppresses duplicate dst_urls within the watermark window."""
+    import datetime as dt
+
+    from crawler_spark.sources.corpus import PAGES_SCHEMA
+    from crawler_spark.streaming.ingest import stream_outlinks
+
+    src = str(tmp_path / "src")
+    ts = dt.datetime(2026, 1, 1, 12, 0, 0)
+    # both pages link to /shared (dup), each to its own relative page;
+    # one mailto (dropped) and one dot-segment ref (resolved)
+    rows = [
+        (
+            "https://h.com/a/p1",
+            ts,
+            b"",
+            '<a href="/shared">s</a><a href="own1.html">o</a>'
+            '<a href="mailto:x@y">m</a>',
+            "en", "w0", 0, "text/html", 200, "response",
+        ),
+        (
+            "https://h.com/a/p2",
+            ts,
+            b"",
+            '<a href="/shared">s</a><a href="../own2.html">o</a>',
+            "en", "w0", 1, "text/html", 200, "response",
+        ),
+    ]
+    spark.createDataFrame(rows, PAGES_SCHEMA).write.parquet(f"{src}/wave=0")
+
+    q = (
+        stream_outlinks(spark, f"{src}/wave=*")
+        .writeStream.format("memory")
+        .queryName("outlinks_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["dst_url"] for r in spark.sql("SELECT * FROM outlinks_mem").collect()
+    }
+    assert got == {
+        "https://h.com/shared",       # emitted ONCE despite two sources
+        "https://h.com/a/own1.html",
+        "https://h.com/own2.html",    # ../ resolved
+    }
