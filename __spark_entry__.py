@@ -523,6 +523,46 @@ def _q_warc_ingest_targeted(spark, sf_dir):
     return warc_ingest_targeted_from_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_url_param_strip(spark, sf_dir):
+    """Tracking-parameter strip (functions/url.strip_tracking_params —
+    the pywb/Heritrix canonicalization rule): utm/click-id/session
+    params removed, order of the surviving params preserved, an
+    all-tracking query loses its '?'. Pure JVM split/filter/rejoin;
+    oracle rebuilds each stripped URL closed-form from m = doc_id % 4."""
+    from crawler_spark.functions.url import strip_tracking_params
+
+    d = _t(spark, sf_dir, "documents")
+    gs = (F.col("doc_id") % 50).cast("string")
+    ids = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = F.concat(
+        F.lit("https://site"), gs, F.lit(".example.com/p/"), ids,
+        F.when(m == 0, F.concat(F.lit("?utm_source=x&id="), ids, F.lit("&fbclid=a&b=2")))
+        .when(m == 1, F.lit("?utm_campaign=c"))
+        .when(m == 2, F.concat(F.lit("?id="), ids))
+        .otherwise(F.lit("")),
+    )
+    s = strip_tracking_params(url)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        url.alias("url"),
+        s["url"].alias("stripped"),
+        s["n_stripped"].alias("n_stripped"),
+    )
+
+
+def _q_warc_outlinks(spark, sf_dir):
+    """Archive bytes → frontier feed (sources/warc.py + functions/
+    links.py): WARC blobs with anchor-carrying HTML bodies are read by
+    the tolerant reader, bulk-decoded, href-harvested and RFC
+    3986-resolved — truncated blobs must NOT contribute their cut
+    record's links. Oracle recomputes the two resolved links per
+    surviving record closed-form."""
+    from crawler_spark.sources.warc import warc_outlinks_from_documents
+
+    return warc_outlinks_from_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_corpus_classify(spark, sf_dir):
     """Full crawl-corpus flagship on the synthetic generator. Oracled by a
     constant fixture derived from the row-at-a-time reference decode +
@@ -1372,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_plan": _q_media_resize,
         "media_type_stats": _q_media_stats,
         "warc_ingest": _q_warc_ingest,
+        "warc_outlinks": _q_warc_outlinks,
+        "url_param_strip": _q_url_param_strip,
         "warc_ingest_targeted": _q_warc_ingest_targeted,
         "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
@@ -1528,6 +1570,8 @@ GROUP BY source""",
         "media_resize_plan": SG.sql_media_resize(MEDIA_RESIZE_MAX_SIDE),
         "media_type_stats": SG.sql_media_stats(),
         "warc_ingest": SG.sql_warc_ingest(),
+        "warc_outlinks": SG.sql_warc_outlinks(),
+        "url_param_strip": SG.sql_url_param_strip(),
         "warc_ingest_targeted": SG.sql_warc_ingest_targeted(),
         "cdx_latest_index": SG.sql_cdx_latest_index(),
         # corpus_classify: the gzip/charset decode + Arrow detector are

@@ -258,3 +258,39 @@ def host_bucket(surt_or_host: Column, num_buckets: int) -> Column:
     local-parquet analog of Iceberg's ``bucket(N, host)`` transform.
     """
     return F.pmod(F.xxhash64(surt_or_host), F.lit(num_buckets)).cast("int")
+
+
+# Tracking/session query parameters every archive-grade canonicalizer
+# strips (pywb's default fuzzy-match/canonicalization rules and
+# Heritrix's strip rules name the same families): analytics campaign
+# tags, click ids, and session tokens — none of them change the fetched
+# content, all of them explode the URL space.
+TRACKING_PARAM_RX = (
+    "^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|dclid|igshid|mc_[a-z]+|ref"
+    "|sessionid|jsessionid|phpsessid|sid|cftoken|cfid)="
+)
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """struct(url string, n_stripped int): the URL with tracking/session
+    query parameters removed (original parameter order preserved; an
+    all-tracking query drops its ``?`` entirely).
+
+    Pure JVM expressions — split on ``&``, filter on the blocklist
+    regex, rejoin. Run BEFORE canonicalization so the param sort sees
+    only meaningful keys; input is expected fragment-free (crawl URLs
+    are). Case-insensitive on the parameter name.
+    """
+    has_q = F.instr(url, "?") > 0
+    base = F.substring_index(url, "?", 1)
+    q = F.regexp_replace(url, r"^[^?]*\?", "")
+    params = F.split(q, "&")
+    kept = F.filter(params, lambda p: ~F.lower(p).rlike(TRACKING_PARAM_RX))
+    n_stripped = (F.size(params) - F.size(kept)).cast("int")
+    rebuilt = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    return F.struct(
+        F.when(has_q, rebuilt).otherwise(url).alias("url"),
+        F.when(has_q, n_stripped).otherwise(F.lit(0)).alias("n_stripped"),
+    )

@@ -776,6 +776,60 @@ FROM g
 WHERE NOT (g % 5 = 0 AND gn > 1 AND doc_id = gmax)"""
 
 
+def sql_url_param_strip() -> str:
+    """Twin of __spark_entry__._q_url_param_strip: stripped URLs are
+    closed-form in m = doc_id % 4 (the Spark side genuinely
+    split/filter/rejoins the query string)."""
+    return """
+WITH p AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id AS VARCHAR) AS base,
+         CAST(doc_id AS VARCHAR) AS ids,
+         doc_id % 4 AS m
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       base || CASE m
+         WHEN 0 THEN '?utm_source=x&id=' || ids || '&fbclid=a&b=2'
+         WHEN 1 THEN '?utm_campaign=c'
+         WHEN 2 THEN '?id=' || ids
+         ELSE '' END AS url,
+       base || CASE m
+         WHEN 0 THEN '?id=' || ids || '&b=2'
+         WHEN 2 THEN '?id=' || ids
+         ELSE '' END AS stripped,
+       CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INT)
+         AS n_stripped
+FROM p"""
+
+
+def sql_warc_outlinks() -> str:
+    """Twin of sources/warc.warc_outlinks_from_documents: same survivor
+    rule as sql_warc_ingest (every 5th blob's last record is cut), two
+    resolved links per survivor — the root-relative /g{g}/next and the
+    relative rel{doc_id}.html against base /d/{doc_id}."""
+    return """
+WITH g AS (
+  SELECT doc_id, source, doc_id % 16 AS g,
+         max(doc_id) OVER (PARTITION BY doc_id % 16) AS gmax,
+         count(*) OVER (PARTITION BY doc_id % 16) AS gn
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source, g,
+         'https://' || source || '.example.com' AS root,
+         'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+           AS src
+  FROM g
+  WHERE NOT (g % 5 = 0 AND gn > 1 AND doc_id = gmax)
+)
+SELECT src AS src_url, root || '/g' || CAST(g AS VARCHAR) || '/next' AS dst_url
+FROM s
+UNION ALL
+SELECT src, root || '/d/rel' || CAST(doc_id AS VARCHAR) || '.html' FROM s"""
+
+
 # warc_ingest_targeted: sources/warc.warc_ingest_targeted_from_documents
 # builds one uncompressed blob per doc_id%64 group; g%3==0 groups lead
 # with an 8 KiB padding response record that the max_bytes=4096 slice cuts

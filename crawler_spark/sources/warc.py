@@ -399,3 +399,52 @@ def warc_ingest_targeted_from_documents(docs: DataFrame) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
     )
+
+
+def warc_outlinks_from_documents(docs: DataFrame) -> DataFrame:
+    """The full archive-bytes → frontier-feed path: documents → WARC
+    blobs whose HTML bodies carry anchor tags (root-relative + relative
+    href per record) → tolerant reader → bulk decode → outlink
+    extraction and RFC 3986 resolution (functions/links.py).
+
+    Same grouping/truncation scheme as :func:`warc_ingest_from_documents`
+    (one blob per ``doc_id % 16`` group, every 5th blob truncated
+    mid-final-record — the cut record's links must NOT appear). The
+    DuckDB oracle (oracle/sqlgen.sql_warc_outlinks) recomputes the two
+    resolved links per surviving record closed-form.
+    """
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.links import outlinks
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+            body = (
+                f'<html><body><a href="/g{g}/next">n</a>'
+                f"<a href='rel{doc_id}.html'>r</a></body></html>"
+            ).encode("utf-8")
+            recs.append(
+                {
+                    "url": f"https://{source}.example.com/d/{doc_id}",
+                    "body": body,
+                    "content_type": "text/html; charset=utf-8",
+                }
+            )
+        if g % 5 == 0 and len(recs) > 1:
+            blob = build_warc(recs[:-1]) + build_warc([recs[-1]])[:12]
+        else:
+            blob = build_warc(recs)
+        return pd.DataFrame(
+            {"warc_source": [f"synth-{g:03d}.warc.gz"], "data": [blob]}
+        )
+
+    segments = (
+        docs.select("doc_id", "source")
+        .groupBy((F.col("doc_id") % 16).alias("g"))
+        .applyInPandas(build, "warc_source string, data binary")
+    )
+    pages = parse_warc_bytes(segments, mode="bulk")
+    return outlinks(pages.select("url", F.col("text").alias("html")))

@@ -112,3 +112,33 @@ def test_canonicalize_udf_matches_python(spark):
         expect = canonicalize_one(r["url"])
         for f in ("surt", "host", "domain", "schema", "path"):
             assert r[f] == expect[f], (r["url"], f)
+
+
+def test_strip_tracking_params(spark):
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.url import strip_tracking_params
+
+    cases = [
+        # (input, expected url, expected n_stripped)
+        ("https://h/p?utm_source=x&id=7&fbclid=a&b=2", "https://h/p?id=7&b=2", 2),
+        ("https://h/p?utm_campaign=c", "https://h/p", 1),       # all tracking
+        ("https://h/p?id=7", "https://h/p?id=7", 0),
+        ("https://h/p", "https://h/p", 0),                      # no query
+        ("https://h/p?UTM_SOURCE=x&a=1", "https://h/p?a=1", 1), # case-insensitive
+        ("https://h/p?jsessionid=deadbeef", "https://h/p", 1),
+        # a VALUE containing 'utm_' must not be stripped; order preserved
+        ("https://h/p?q=utm_source&z=1&a=2", "https://h/p?q=utm_source&z=1&a=2", 0),
+        # second '?' is literal query content
+        ("https://h/p?a=1?b&utm_x=1", "https://h/p?a=1?b", 1),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "u string")
+    s = strip_tracking_params(F.col("u"))
+    got = {
+        r["u"]: (r["out"], r["n"])
+        for r in df.select(
+            "u", s["url"].alias("out"), s["n_stripped"].alias("n")
+        ).collect()
+    }
+    for u, exp_url, exp_n in cases:
+        assert got[u] == (exp_url, exp_n), u

@@ -24,8 +24,12 @@ import pytest
 #   quantize_embeddings   crossJoin(broadcast(1-row per-dim max vector))
 #   mix_plan              crossJoin(broadcast(1-row weight total))
 #   mix_execute           inherits mix_plan's 1-row weight-total cross
+#   ann_recall            inherits cosine_topk's constant-query-set
+#                         broadcast (the exact ground-truth side; at
+#                         scale it runs on a query SAMPLE by design)
 ALLOWED_NESTED_LOOP = {
     "cosine_topk",
+    "ann_recall",
     "cosine_neardup_pairs",
     "ann_ivf_topk",
     "quantize_embeddings",
