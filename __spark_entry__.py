@@ -364,6 +364,22 @@ def _q_simhash(spark, sf_dir):
     return TD.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _q_lsh_quality(spark, sf_dir):
+    """Banding-quality report (operators/textdedup.lsh_quality_report):
+    LSH candidates vs exact Jaccard ground truth, precision/recall in
+    integer per-mille — the measured tuning answer for
+    (num_hashes, bands); ground truth runs on a sample at scale."""
+    return TD.lsh_quality_report(_t(spark, sf_dir, "documents"))
+
+
+def _q_simhash_neardups(spark, sf_dir):
+    """SimHash Hamming-radius pair search (operators/textdedup.py,
+    Manku et al. WWW 2007): k+1-block pigeonhole equi-join candidate
+    generation (never all-pairs), hot-block cap, one bit_count(xor)
+    verify per candidate."""
+    return TD.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------ similarity --
 
 
@@ -1398,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "stratified_sample": _q_stratified_sample,
         "simhash_fingerprints": _q_simhash,
+        "simhash_neardups": _q_simhash_neardups,
+        "lsh_quality": _q_lsh_quality,
         "cosine_topk": _q_cosine_topk,
         "cosine_neardup_pairs": _q_cosine_neardup,
         "embedding_centroids": _q_centroids,
@@ -1556,6 +1574,8 @@ GROUP BY source""",
         "pii_scrub": SG.sql_pii_scrub(),
         "stratified_sample": SG.sql_stratified_sample(),
         "simhash_fingerprints": SG.sql_simhash(),
+        "simhash_neardups": SG.sql_simhash_neardups(),
+        "lsh_quality": SG.sql_lsh_quality(),
         "cosine_topk": SG.sql_cosine_topk(TOPK_QUERY_IDS),
         "cosine_neardup_pairs": SG.sql_cosine_neardup(),
         "embedding_centroids": SG.sql_centroids(),

@@ -233,3 +233,115 @@ def simhash(
             F.lit(0).cast("long")
         )
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+SIMHASH_HAM_K = 3  # near-dup Hamming radius (Manku et al., WWW 2007)
+SIMHASH_HOT_BLOCK_MAX = 1024  # candidate-generation cap per block value
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    k: int = SIMHASH_HAM_K,
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block_docs: int = SIMHASH_HOT_BLOCK_MAX,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for fingerprint pairs within Hamming
+    distance ``k`` — the multi-block index of Manku et al. (WWW 2007,
+    public): split the ``bits``-bit fingerprint into ``k+1`` blocks; by
+    pigeonhole, two fingerprints within distance k agree EXACTLY on at
+    least one block, so candidate generation is an equi-join on
+    (block_idx, block_value) — never an all-pairs Hamming scan — and
+    the true distance is verified with one ``bit_count(xor)`` per
+    candidate.
+
+    Hot blocks (a value shared by more than ``max_block_docs``
+    fingerprints, e.g. the all-zeros block of near-empty docs) are
+    dropped from candidate generation — the same pruning role as the
+    hot-shingle cap in :func:`ngram_jaccard_pairs`; pairs agreeing
+    ONLY on a hot block are the documented recall trade. ``distinct``
+    collapses pairs that collide on several blocks.
+    """
+    assert bits % (k + 1) == 0, "block width must divide the fingerprint"
+    nb = k + 1
+    width = bits // nb
+    mask = (1 << width) - 1
+    fps = simhash(df, id_col, text_col, bits)
+    blk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(nb)
+            ]
+        )
+    )
+    t = fps.select(F.col(id_col), "simhash", blk.alias("b")).select(
+        id_col, "simhash", "b.blk", "b.val"
+    )
+    keep = (
+        t.groupBy("blk", "val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= max_block_docs)
+        .select("blk", "val")
+    )
+    t = t.join(keep, ["blk", "val"])
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_fa"), "blk", "val"
+    )
+    b2 = t.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_fb"), "blk", "val"
+    )
+    ham = F.expr("bit_count(_fa ^ _fb)").cast("int")
+    return (
+        a.join(b2, ["blk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= k)
+        .distinct()
+    )
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One-row banding-quality report: LSH candidate pairs vs exact
+    Jaccard ground truth — (n_true, n_candidates, n_hit, precision_pm,
+    recall_pm), integer per-mille.
+
+    The measured answer to "are (num_hashes, bands) tuned right":
+    recall says how many true near-dup pairs banding surfaces,
+    precision how much verify work the candidates waste. Ground truth
+    is the EXACT shingle self-join, so at 10^10 docs this report runs
+    on a corpus SAMPLE (the same sampling rule as ann_recall's exact
+    side) — the banding parameters it validates then apply corpus-wide.
+    """
+    true_pairs = ngram_jaccard_pairs(df, id_col, text_col).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    cands = minhash_lsh_pairs(df, id_col, text_col).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    j = true_pairs.join(cands, ["id_a", "id_b"], "full")
+    return j.agg(
+        F.count("_t").alias("n_true"),
+        F.count("_c").alias("n_candidates"),
+        F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+    ).select(
+        "n_true",
+        "n_candidates",
+        "n_hit",
+        F.expr("CASE WHEN n_candidates > 0 THEN n_hit * 1000 div n_candidates "
+               "ELSE 0 END").alias("precision_pm"),
+        F.expr("CASE WHEN n_true > 0 THEN n_hit * 1000 div n_true "
+               "ELSE 0 END").alias("recall_pm"),
+    )

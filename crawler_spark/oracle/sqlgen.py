@@ -270,6 +270,66 @@ bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits"""
 
 
+def sql_lsh_quality() -> str:
+    """Twin of operators/textdedup.lsh_quality_report — composed from
+    the two existing twins as nested-WITH subqueries so the report can
+    never drift from what it measures."""
+    return f"""
+WITH t AS ({sql_ngram_jaccard()}),
+c AS ({sql_minhash_lsh_pairs()}),
+j AS (
+  SELECT coalesce(t.id_a, c.id_a) AS id_a,
+         coalesce(t.id_b, c.id_b) AS id_b,
+         t.id_a IS NOT NULL AS in_t, c.id_a IS NOT NULL AS in_c
+  FROM t FULL OUTER JOIN c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+         CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM j
+)
+SELECT n_true, n_candidates, n_hit,
+       CASE WHEN n_candidates > 0 THEN n_hit * 1000 // n_candidates
+            ELSE 0 END AS precision_pm,
+       CASE WHEN n_true > 0 THEN n_hit * 1000 // n_true
+            ELSE 0 END AS recall_pm
+FROM agg"""
+
+
+def sql_simhash_neardups() -> str:
+    """Twin of operators/textdedup.simhash_neardup_pairs: same k+1-block
+    pigeonhole candidate join, hot-block cap, bit_count(xor) verify."""
+    from crawler_spark.operators.textdedup import (
+        SIMHASH_BITS,
+        SIMHASH_HAM_K,
+        SIMHASH_HOT_BLOCK_MAX,
+    )
+
+    nb = SIMHASH_HAM_K + 1
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+    fps = sql_simhash().strip()
+    return f"""
+WITH fps AS ({fps}),
+blocks AS (
+  SELECT doc_id, simhash, b AS blk, (simhash >> (b * {width})) & {mask} AS val
+  FROM fps, unnest([{", ".join(str(b) for b in range(nb))}]) AS t(b)
+),
+keep AS (
+  SELECT blk, val FROM blocks GROUP BY blk, val
+  HAVING count(*) <= {SIMHASH_HOT_BLOCK_MAX}
+),
+pb AS (SELECT blocks.* FROM blocks JOIN keep USING (blk, val))
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM pb a JOIN pb b ON a.blk = b.blk AND a.val = b.val
+                    AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_K}"""
+
+
 def _seg_lines_cte(k: int) -> str:
     """CTEs sd(words) + segs + lines(doc_id, pos, line): fixed k-word
     segmentation of the word stream (the synthetic corpus has no

@@ -417,7 +417,7 @@ def warc_outlinks_from_documents(docs: DataFrame) -> DataFrame:
 
     from crawler_spark.functions.links import outlinks
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         g = int(key[0])
         pdf = pdf.sort_values("doc_id")
         recs = []

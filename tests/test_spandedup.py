@@ -110,3 +110,58 @@ def test_default_window_and_pure_jvm_plan(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan  # no Python UDF anywhere
     assert res.collect()[0]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# simhash_neardup_pairs (operators/textdedup.py) — multi-block Hamming search
+
+
+def test_simhash_neardups_matches_bruteforce(spark):
+    from crawler_spark.operators.textdedup import (
+        SIMHASH_BITS,
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),   # identical -> hamming 0
+        (3, "alpha beta gamma delta zeta"),      # one token swapped
+        (4, "totally different words entirely here"),
+        (5, "unrelated content again something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, nb = 3, 4
+    width = SIMHASH_BITS // nb
+    mask = (1 << width) - 1
+
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    expected = set()
+    for a in fps:
+        for b in fps:
+            if a < b:
+                ham = bin(fps[a] ^ fps[b]).count("1")
+                shares = any(
+                    (fps[a] >> (i * width)) & mask == (fps[b] >> (i * width)) & mask
+                    for i in range(nb)
+                )
+                if ham <= k and shares:
+                    expected.add((a, b, ham))
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(df, k=k).collect()
+    }
+    assert got == expected
+    assert (1, 2, 0) in got  # identical docs always pair at distance 0
+
+
+def test_simhash_hot_block_cap_prunes(spark):
+    from crawler_spark.operators.textdedup import simhash_neardup_pairs
+
+    # many identical docs: every block value is shared by all of them —
+    # a cap below the group size suppresses ALL candidate generation
+    rows = [(i, "same words every time") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert simhash_neardup_pairs(df).count() == 45  # 10 choose 2
+    assert simhash_neardup_pairs(df, max_block_docs=5).count() == 0
