@@ -34,8 +34,14 @@ from crawler_spark.functions.links import HREF_ATTR_RX, unquote_href
 
 # all <a ...> attribute strings
 _A_TAG_RX = r"(?i)<a\s([^>]*)>"
-# rel attribute (at a name boundary) containing the nofollow token
-_NOFOLLOW_RX = r"""(?i)(?<=\s)rel\s*=\s*["']?[^"'>]*\bnofollow\b"""
+# rel attribute (at a name boundary) containing the nofollow token —
+# the three value forms are matched separately because a BARE value
+# ends at whitespace (a 'nofollow' in some later unquoted attribute
+# must not leak into the rel value)
+_NOFOLLOW_RX = (
+    r"""(?i)(?<=[\s"'])rel\s*=\s*"""
+    r"""(?:"[^">]*\bnofollow\b|'[^'>]*\bnofollow\b|[^\s>'"]*\bnofollow\b)"""
+)
 # <meta name=robots content=...> in either attribute order, quoted or
 # bare values; group 1 = the whole content value token
 _META_ROBOTS_RX = (

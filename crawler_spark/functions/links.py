@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 # lookbehind, 'data-href="/t"' would satisfy the match and steal the
 # real href. Group 1 is the whole VALUE TOKEN (quotes included for the
 # quoted forms); unquote_href strips them.
-HREF_ATTR_RX = r"""(?i)(?<=\s)href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
+HREF_ATTR_RX = r"""(?i)(?<=[\s"'])href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
 # href="..." / href='...' / href=bare inside an <a> tag
 _HREF_RX = r"""(?i)<a\s[^>]*?(?<=[\s"'])href\s*=\s*("[^"]*"|'[^']*'|[^\s>'"]+)"""
 

@@ -265,9 +265,13 @@ def host_bucket(surt_or_host: Column, num_buckets: int) -> Column:
 # Heritrix's strip rules name the same families): analytics campaign
 # tags, click ids, and session tokens — none of them change the fetched
 # content, all of them explode the URL space.
+# NOTE: deliberately narrow — generic names like 'ref' or 'sid' are
+# content-bearing on many real sites (a git ref, a story id) and
+# stripping them would merge distinct resources; only unambiguous
+# analytics/click/session tokens qualify.
 TRACKING_PARAM_RX = (
-    "^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|dclid|igshid|mc_[a-z]+|ref"
-    "|sessionid|jsessionid|phpsessid|sid|cftoken|cfid)="
+    "^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|dclid|igshid|mc_[a-z]+"
+    "|sessionid|jsessionid|phpsessid|cftoken|cfid)="
 )
 
 

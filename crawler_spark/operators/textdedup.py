@@ -66,14 +66,17 @@ def ngram_jaccard_pairs(
     n: int = NGRAM_N,
     threshold: float = JACCARD_THRESHOLD,
     max_shingle_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard ≥ threshold) over word n-grams.
 
     jaccard = |A∩B| / (|A|+|B|-|A∩B|), computed from one self-equi-join on
     the shingle. ``max_shingle_freq`` drops shingles whose posting list
     exceeds the cap (mandatory at scale; None = exact, used by the oracle
-    gate at small SF)."""
-    gd = distinct_shingles(df, id_col, text_col, n)
+    gate at small SF). ``shingles`` injects a precomputed (persisted)
+    posting-list relation so callers composing several shingle consumers
+    pay the explode+distinct once."""
+    gd = shingles if shingles is not None else distinct_shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
         hot = gd.groupBy("ng").count().where(F.col("count") > max_shingle_freq).select("ng")
         gd = gd.join(F.broadcast(hot), "ng", "left_anti")
@@ -108,12 +111,13 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = NGRAM_N,
     num_hashes: int = MINHASH_HASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as columns mh0..mh{k-1}.
 
     One explode + one groupBy with k ``min`` aggregates — all partial-agg
     (map-side combine), single shuffle keyed on the doc id."""
-    gd = distinct_shingles(df, id_col, text_col, n)
+    gd = shingles if shingles is not None else distinct_shingles(df, id_col, text_col, n)
     aggs = [F.min(h64_seeded(F.col("ng"), j)).alias(f"mh{j}") for j in range(num_hashes)]
     return gd.groupBy(id_col).agg(*aggs)
 
@@ -135,13 +139,14 @@ def lsh_band_table(
     n: int = NGRAM_N,
     num_hashes: int = MINHASH_HASHES,
     bands: int = LSH_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band_idx, band_hash): bands·docs rows. At 10^10 docs this IS
     the persisted dedup index — an Iceberg table bucketed by
     (band_idx, band_hash) that incremental batches equi-join against
     (:func:`lsh_match_new`) without ever rescanning the corpus."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, shingles=shingles)
     band_frames = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
@@ -191,6 +196,7 @@ def minhash_lsh_pairs(
     n: int = NGRAM_N,
     num_hashes: int = MINHASH_HASHES,
     bands: int = LSH_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
@@ -198,7 +204,7 @@ def minhash_lsh_pairs(
     (band_idx, band_hash). This is the 10^10-scale dedup path; feed the
     output through :func:`ngram_jaccard_pairs` semantics (or exact
     verification) to confirm."""
-    bt = lsh_band_table(df, id_col, text_col, n, num_hashes, bands)
+    bt = lsh_band_table(df, id_col, text_col, n, num_hashes, bands, shingles=shingles)
     a = bt.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b2 = bt.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -323,10 +329,14 @@ def lsh_quality_report(
     on a corpus SAMPLE (the same sampling rule as ann_recall's exact
     side) — the banding parameters it validates then apply corpus-wide.
     """
-    true_pairs = ngram_jaccard_pairs(df, id_col, text_col).select(
+    # one explode+distinct serves both sides (same factoring as
+    # mirrors._host_digests): the posting list is the most expensive
+    # intermediate here, so build it once and persist
+    gd = distinct_shingles(df, id_col, text_col).persist()
+    true_pairs = ngram_jaccard_pairs(df, id_col, text_col, shingles=gd).select(
         "id_a", "id_b", F.lit(1).alias("_t")
     )
-    cands = minhash_lsh_pairs(df, id_col, text_col).select(
+    cands = minhash_lsh_pairs(df, id_col, text_col, shingles=gd).select(
         "id_a", "id_b", F.lit(1).alias("_c")
     )
     j = true_pairs.join(cands, ["id_a", "id_b"], "full")

@@ -284,11 +284,11 @@ j AS (
   FROM t FULL OUTER JOIN c ON t.id_a = c.id_a AND t.id_b = c.id_b
 ),
 agg AS (
-  SELECT CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-         CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_candidates,
-         CAST(sum(CASE WHEN in_t AND in_c THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hit
+  -- count(CASE ...) (not sum) so an EMPTY pair join yields zeros like
+  -- Spark's F.count aggregates, not NULLs
+  SELECT CAST(count(CASE WHEN in_t THEN 1 END) AS BIGINT) AS n_true,
+         CAST(count(CASE WHEN in_c THEN 1 END) AS BIGINT) AS n_candidates,
+         CAST(count(CASE WHEN in_t AND in_c THEN 1 END) AS BIGINT) AS n_hit
   FROM j
 )
 SELECT n_true, n_candidates, n_hit,

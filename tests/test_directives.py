@@ -70,6 +70,29 @@ def test_attribute_name_boundaries(spark):
     assert got == [("/real", False), ("/x?rel=nofollow", False), ("/y", False)]
 
 
+def test_bare_rel_value_ends_at_whitespace(spark):
+    # an unquoted rel value ends at whitespace: 'nofollow' in a LATER
+    # unquoted attribute must not leak into the rel value
+    html = (
+        '<a href="/p" rel=me data-note=nofollow>x</a>'
+        '<a href="/q" rel=nofollow title=t>y</a>'
+    )
+    got = [(r["href"], r["nofollow"]) for r in _one(spark, html, extract_links)]
+    assert got == [("/p", False), ("/q", True)]
+
+
+def test_href_after_closing_quote(spark):
+    # browsers parse title="t"href="/y" as two attributes; both parsers
+    # must agree (the shared-grammar guarantee)
+    from crawler_spark.functions.links import extract_hrefs
+
+    html = '<a title="t"href="/y">x</a>'
+    assert _one(spark, html, extract_hrefs) == ["/y"]
+    assert [(r["href"], r["nofollow"]) for r in _one(spark, html, extract_links)] == [
+        ("/y", False)
+    ]
+
+
 def test_canonical_href(spark):
     assert (
         _one(spark, '<link rel="canonical" href="https://e.com/x">', canonical_href)
