@@ -62,7 +62,11 @@ from crawler_spark.operators.bloom import (
 )
 from crawler_spark.operators.dedup import filter_unseen_pruned, first_wins
 from crawler_spark.operators.politeness import admit_per_host
-from crawler_spark.operators.robots import budget_from_crawl_delay, gate_tag
+from crawler_spark.operators.robots import (
+    budget_from_crawl_delay,
+    gate_rfc9309,
+    gate_tag,
+)
 from crawler_spark.sources.tables import SnapshotStore
 
 FRONTIER_SCHEMA = T.StructType(
@@ -163,6 +167,7 @@ class FrontierCrawler:
         min_confidence: str = "medium",
         adaptive: bool = False,
         traps: DataFrame | None = None,
+        robots_mode: str = "prefix",
     ):
         """adaptive=True enables the AdaptiveRateLimiter semantics
         (reference src/utils/rate_limiter.py:184-207): each round's
@@ -187,6 +192,14 @@ class FrontierCrawler:
         # and evicts under memory pressure.
         self.links = links
         self.robots = robots.persist() if robots is not None else None
+        # 'prefix' = the reference-parity Disallow-prefix gate (matches
+        # the pure-Python crawl oracle); 'rfc9309' = full wildcard
+        # Allow/Disallow matching (functions/robots_parse + gate_rfc9309,
+        # robots table shape (host, rules[, crawl_delay]) from
+        # robots_rfc9309_from_bodies). Same join shape either way.
+        if robots_mode not in ("prefix", "rfc9309"):
+            raise ValueError(f"unknown robots_mode {robots_mode!r}")
+        self.robots_mode = robots_mode
         self.cfg = cfg
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence
@@ -427,8 +440,14 @@ class FrontierCrawler:
         #    Unseen/blocked totals ride on the cache fill as an Observation
         #    (one fill → one fire); no standalone stats job.
         obs_tag = Observation()
+        if self.robots_mode == "rfc9309":
+            gated = gate_rfc9309(unseen, self.robots).withColumn(
+                "_blocked", ~F.col("allowed")
+            ).drop("allowed", "rule")
+        else:
+            gated = gate_tag(unseen, self.robots)
         tagged = (
-            gate_tag(unseen, self.robots)
+            gated
             .observe(
                 obs_tag,
                 F.count(F.lit(1)).alias("n"),

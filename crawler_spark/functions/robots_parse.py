@@ -263,6 +263,25 @@ def robots_rules_from_bodies(
     )
 
 
+def robots_rfc9309_from_bodies(
+    df: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    agent: str | None = None,
+) -> DataFrame:
+    """(host, rules, crawl_delay) — the full-RFC robots table the
+    frontier's ``robots_mode='rfc9309'`` consumes: wildcard Allow/
+    Disallow rules for the gate plus the crawl-delay the politeness
+    budget derives from (parsed with the same ``*``-group fold the
+    prefix table uses)."""
+    parsed = parse_robots(F.col(body_col))
+    return df.select(
+        F.col(host_col).alias("host"),
+        parse_robots_rules(F.col(body_col), agent=agent).alias("rules"),
+        parsed["crawl_delay"].alias("crawl_delay"),
+    )
+
+
 def robots_sitemaps(txt: Column) -> Column:
     """``array<string>`` of ``Sitemap:`` URLs from a robots body — the
     discovery link into sources/sitemap.parse_sitemaps. Per

@@ -106,14 +106,25 @@ def gate_rfc9309(
 
     if rules_table is None:
         return candidates.withColumns(
-            {"allowed": F.lit(True), "rule": F.lit(None).cast("string")}
+            {
+                "allowed": F.lit(True),
+                "rule": F.lit(None).cast("string"),
+                "crawl_delay": F.lit(None).cast("double"),
+            }
         )
-    r = rules_table.select(
-        F.col("host").alias("_r_host"), F.col("rules").alias("_r_rules")
-    )
+    cols = [F.col("host").alias("_r_host"), F.col("rules").alias("_r_rules")]
+    # crawl_delay rides along when the table carries it (the frontier's
+    # rfc9309 mode derives the politeness budget from it, same as
+    # gate_tag's contract)
+    has_delay = "crawl_delay" in rules_table.columns
+    if has_delay:
+        cols.append(F.col("crawl_delay"))
+    r = rules_table.select(*cols)
     if broadcast:
         r = F.broadcast(r)
     joined = candidates.join(r, F.col(host_col) == F.col("_r_host"), "left")
+    if not has_delay:
+        joined = joined.withColumn("crawl_delay", F.lit(None).cast("double"))
     v = rfc9309_match(
         F.col(path_col),
         F.coalesce(F.col("_r_rules"), F.array().cast(RULES_TYPE)),
