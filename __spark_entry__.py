@@ -539,6 +539,16 @@ def _q_warc_ingest_targeted(spark, sf_dir):
     return warc_ingest_targeted_from_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.py — the
+    retrieval/embedding preprocessor): overlapping word windows with
+    offset bookkeeping, a pure map stage (sequence+transform+posexplode,
+    no shuffle); the oracle re-slices the word array closed-form."""
+    from crawler_spark.operators.chunking import chunk_text
+
+    return chunk_text(_t(spark, sf_dir, "documents"))
+
+
 def _q_url_param_strip(spark, sf_dir):
     """Tracking-parameter strip (functions/url.strip_tracking_params —
     the pywb/Heritrix canonicalization rule): utm/click-id/session
@@ -1432,6 +1442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "warc_outlinks": _q_warc_outlinks,
         "url_param_strip": _q_url_param_strip,
+        "text_chunks": _q_text_chunks,
         "warc_ingest_targeted": _q_warc_ingest_targeted,
         "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
@@ -1592,6 +1603,7 @@ GROUP BY source""",
         "warc_ingest": SG.sql_warc_ingest(),
         "warc_outlinks": SG.sql_warc_outlinks(),
         "url_param_strip": SG.sql_url_param_strip(),
+        "text_chunks": SG.sql_text_chunks(),
         "warc_ingest_targeted": SG.sql_warc_ingest_targeted(),
         "cdx_latest_index": SG.sql_cdx_latest_index(),
         # corpus_classify: the gzip/charset decode + Arrow detector are

@@ -683,7 +683,7 @@ R3_OPS = [
     "quantize_embeddings", "cdx_collapse_digest", "cdx_collapse_time",
     "robots_wildcard", "fetch_timetable", "dsir_select", "outlink_extract",
     "mirror_detect", "nofollow_outlinks", "canonical_cluster", "ann_recall",
-    "warc_outlinks", "url_param_strip", "simhash_neardups", "lsh_quality",
+    "warc_outlinks", "url_param_strip", "simhash_neardups", "lsh_quality", "text_chunks",
 ]
 
 

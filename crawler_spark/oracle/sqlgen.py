@@ -836,6 +836,29 @@ FROM g
 WHERE NOT (g % 5 = 0 AND gn > 1 AND doc_id = gmax)"""
 
 
+def sql_text_chunks() -> str:
+    """Twin of operators/chunking.chunk_text: same window/stride
+    arithmetic over the split word array."""
+    from crawler_spark.operators.chunking import CHUNK_STRIDE, CHUNK_WINDOW
+
+    ov = CHUNK_WINDOW - CHUNK_STRIDE
+    s, wdw = CHUNK_STRIDE, CHUNK_WINDOW
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, w,
+         CAST(ceil(greatest(len(w) - {ov}, 1) / {s}.0) AS INT) AS nc
+  FROM d
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(i * {s} AS INT) AS word_start,
+       CAST(len(array_slice(w, i * {s} + 1, i * {s} + {wdw})) AS INT)
+         AS n_words,
+       array_to_string(array_slice(w, i * {s} + 1, i * {s} + {wdw}), ' ')
+         AS chunk
+FROM c, unnest(range(0, nc)) AS t(i)"""
+
+
 def sql_url_param_strip() -> str:
     """Twin of __spark_entry__._q_url_param_strip: stripped URLs are
     closed-form in m = doc_id % 4 (the Spark side genuinely
