@@ -190,16 +190,25 @@ class FrontierCrawler:
         # compressed) parquet is cheaper than pinning a corpus-sized
         # deserialized cache that competes with the round caches for heap
         # and evicts under memory pressure.
-        self.links = links
-        self.robots = robots.persist() if robots is not None else None
         # 'prefix' = the reference-parity Disallow-prefix gate (matches
         # the pure-Python crawl oracle); 'rfc9309' = full wildcard
         # Allow/Disallow matching (functions/robots_parse + gate_rfc9309,
         # robots table shape (host, rules[, crawl_delay]) from
         # robots_rfc9309_from_bodies). Same join shape either way.
+        # Validate BEFORE any side effect (persist below), and fail fast
+        # on a mode/table-shape mismatch instead of deep inside round 1.
         if robots_mode not in ("prefix", "rfc9309"):
             raise ValueError(f"unknown robots_mode {robots_mode!r}")
+        if robots is not None:
+            need = "rules" if robots_mode == "rfc9309" else "disallow_prefixes"
+            if need not in robots.columns:
+                raise ValueError(
+                    f"robots_mode={robots_mode!r} needs a robots table with "
+                    f"a {need!r} column, got {robots.columns}"
+                )
         self.robots_mode = robots_mode
+        self.links = links
+        self.robots = robots.persist() if robots is not None else None
         self.cfg = cfg
         self.budget = budget if budget is not None else cfg.politeness.budget_per_round
         self.min_confidence = min_confidence

@@ -119,24 +119,26 @@ def robots_from_bodies(
     )
 
 
-def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
-    """``array<struct<pattern string, allow boolean>>`` — the Allow AND
-    Disallow rules applying to ``agent``, in file order (the full
-    RFC 9309 rule set; :func:`parse_robots` stays the cheap prefix-only
-    gate).
+def parse_robots_group(txt: Column, agent: str | None = None) -> Column:
+    """``struct(rules array<struct<pattern,allow>>, crawl_delay double)``
+    — the Allow AND Disallow rules plus the crawl-delay of the group
+    applying to ``agent``, in ONE fold (the full RFC 9309 rule set;
+    :func:`parse_robots` stays the cheap prefix-only gate).
 
     Group selection per RFC 9309 §2.2.1: with ``agent`` given, groups
     whose ``User-agent`` token equals it case-insensitively are the
-    MOST SPECIFIC match and, if ANY exists, only their rules apply —
-    even when they contain no rules (an addressed-but-empty group means
-    allow-all, NOT fall back to ``*``). Otherwise the ``*`` groups
-    apply. ``agent=None`` selects the ``*`` groups directly. Token
-    matching is exact equality (the spec's product-token match; we do
-    not implement Google's longest-prefix extension).
+    MOST SPECIFIC match and, if ANY exists, only their rules AND
+    crawl-delay apply — even when they contain no rules (an
+    addressed-but-empty group means allow-all, NOT fall back to ``*``).
+    Otherwise the ``*`` groups apply. ``agent=None`` selects the ``*``
+    groups directly. Token matching is exact equality (the spec's
+    product-token match; we do not implement Google's longest-prefix
+    extension).
 
     Same line tolerance as :func:`parse_robots`; empty-value rules are
     ignored per the de-facto standard (an empty Disallow is allow-all,
-    an empty Allow matches nothing).
+    an empty Allow matches nothing); non-numeric Crawl-delay values are
+    ignored, last applicable wins.
     """
     key, val = _key, _val
     agent_lc = agent.lower() if agent is not None else None
@@ -159,9 +161,15 @@ def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
 
         is_rule = ~is_ua & (F.length(v) > 0) & ((k == "allow") | (k == "disallow"))
         entry = F.struct(v.alias("pattern"), (k == "allow").alias("allow"))
+        num = v.try_cast("double")
 
         def collect(prev, on):
             return F.when(is_rule & on, F.array_append(prev, entry)).otherwise(prev)
+
+        def delay(prev, on):
+            return F.coalesce(
+                F.when(~is_ua & on & (k == "crawl-delay"), num), prev
+            )
 
         return F.struct(
             is_ua.alias("in_header"),
@@ -170,6 +178,8 @@ def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
             saw_exact.alias("saw_exact"),
             collect(acc["star_rules"], acc["star_on"]).alias("star_rules"),
             collect(acc["exact_rules"], acc["exact_on"]).alias("exact_rules"),
+            delay(acc["star_delay"], acc["star_on"]).alias("star_delay"),
+            delay(acc["exact_delay"], acc["exact_on"]).alias("exact_delay"),
         )
 
     init = F.struct(
@@ -179,6 +189,8 @@ def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
         F.lit(False).alias("saw_exact"),
         F.array().cast(RULES_TYPE).alias("star_rules"),
         F.array().cast(RULES_TYPE).alias("exact_rules"),
+        F.lit(None).cast("double").alias("star_delay"),
+        F.lit(None).cast("double").alias("exact_delay"),
     )
     return F.aggregate(
         F.filter(
@@ -187,10 +199,22 @@ def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
         ),
         init,
         step,
-        lambda acc: F.when(acc["saw_exact"], acc["exact_rules"]).otherwise(
-            acc["star_rules"]
+        lambda acc: F.struct(
+            F.when(acc["saw_exact"], acc["exact_rules"])
+            .otherwise(acc["star_rules"])
+            .alias("rules"),
+            F.when(acc["saw_exact"], acc["exact_delay"])
+            .otherwise(acc["star_delay"])
+            .alias("crawl_delay"),
         ),
     )
+
+
+def parse_robots_rules(txt: Column, agent: str | None = None) -> Column:
+    """``array<struct<pattern string, allow boolean>>`` — the rules
+    component of :func:`parse_robots_group` (see there for the group
+    selection semantics)."""
+    return parse_robots_group(txt, agent)["rules"]
 
 
 RULES_TYPE = "array<struct<pattern:string,allow:boolean>>"
@@ -272,13 +296,14 @@ def robots_rfc9309_from_bodies(
     """(host, rules, crawl_delay) — the full-RFC robots table the
     frontier's ``robots_mode='rfc9309'`` consumes: wildcard Allow/
     Disallow rules for the gate plus the crawl-delay the politeness
-    budget derives from (parsed with the same ``*``-group fold the
-    prefix table uses)."""
-    parsed = parse_robots(F.col(body_col))
+    budget derives from. ONE fold per body, and both come from the SAME
+    selected group — with ``agent`` given, an exact-agent group's
+    crawl-delay applies, never the inapplicable ``*`` group's."""
+    g = parse_robots_group(F.col(body_col), agent=agent)
     return df.select(
         F.col(host_col).alias("host"),
-        parse_robots_rules(F.col(body_col), agent=agent).alias("rules"),
-        parsed["crawl_delay"].alias("crawl_delay"),
+        g["rules"].alias("rules"),
+        g["crawl_delay"].alias("crawl_delay"),
     )
 
 

@@ -112,28 +112,32 @@ def gate_rfc9309(
                 "crawl_delay": F.lit(None).cast("double"),
             }
         )
-    cols = [F.col("host").alias("_r_host"), F.col("rules").alias("_r_rules")]
     # crawl_delay rides along when the table carries it (the frontier's
     # rfc9309 mode derives the politeness budget from it, same as
-    # gate_tag's contract)
+    # gate_tag's contract). The '_r_' alias keeps the join unambiguous
+    # even when the candidates already carry a crawl_delay column; the
+    # gate's output column then REPLACES it (documented contract: the
+    # gate owns crawl_delay, like gate_tag).
     has_delay = "crawl_delay" in rules_table.columns
+    cols = [F.col("host").alias("_r_host"), F.col("rules").alias("_r_rules")]
     if has_delay:
-        cols.append(F.col("crawl_delay"))
+        cols.append(F.col("crawl_delay").alias("_r_delay"))
     r = rules_table.select(*cols)
     if broadcast:
         r = F.broadcast(r)
     joined = candidates.join(r, F.col(host_col) == F.col("_r_host"), "left")
-    if not has_delay:
-        joined = joined.withColumn("crawl_delay", F.lit(None).cast("double"))
+    delay = F.col("_r_delay") if has_delay else F.lit(None).cast("double")
     v = rfc9309_match(
         F.col(path_col),
         F.coalesce(F.col("_r_rules"), F.array().cast(RULES_TYPE)),
     )
-    return (
+    out = (
         joined.withColumn("allowed", v["allowed"])
         .withColumn("rule", v["rule"])
+        .withColumn("crawl_delay", delay)
         .drop("_r_host", "_r_rules")
     )
+    return out.drop("_r_delay") if has_delay else out
 
 
 def budget_from_crawl_delay(df: DataFrame, round_duration_s: float, default_budget: int) -> DataFrame:

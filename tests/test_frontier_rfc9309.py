@@ -94,3 +94,20 @@ def test_bad_mode_rejected(spark, tmp_path):
             spark, SnapshotStore(str(tmp_path / "x")), _pages(spark),
             robots_mode="nonsense",
         )
+
+
+@pytest.mark.spark
+def test_mode_table_shape_mismatch_fails_fast(spark, tmp_path):
+    bodies = spark.createDataFrame([("h.com", BODY)], "host string, robots_txt string")
+    prefix_table = robots_from_bodies(bodies)
+    rfc_table = robots_rfc9309_from_bodies(bodies)
+    with pytest.raises(ValueError, match="rules"):
+        FrontierCrawler(
+            spark, SnapshotStore(str(tmp_path / "m1")), _pages(spark),
+            robots=prefix_table, robots_mode="rfc9309",
+        )
+    with pytest.raises(ValueError, match="disallow_prefixes"):
+        FrontierCrawler(
+            spark, SnapshotStore(str(tmp_path / "m2")), _pages(spark),
+            robots=rfc_table, robots_mode="prefix",
+        )

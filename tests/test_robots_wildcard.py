@@ -164,6 +164,32 @@ def test_blank_separated_ua_lines_merge(spark):
     assert _rules(spark, body, "mybot") == [("/", False)]
 
 
+def test_agent_group_owns_crawl_delay(spark):
+    # the selected group's crawl-delay applies — never the inapplicable
+    # * group's (a 100x politeness error otherwise)
+    from crawler_spark.functions.robots_parse import robots_rfc9309_from_bodies
+
+    body = (
+        "User-agent: mybot\nCrawl-delay: 10\nDisallow: /a\n\n"
+        "User-agent: *\nCrawl-delay: 0.1\nDisallow: /b\n"
+    )
+    df = spark.createDataFrame([("h", body)], "host string, robots_txt string")
+
+    def delay(agent):
+        return robots_rfc9309_from_bodies(df, agent=agent).collect()[0]["crawl_delay"]
+
+    assert delay("mybot") == 10.0
+    assert delay("otherbot") == 0.1
+    assert delay(None) == 0.1
+    # exact group WITHOUT a delay: no fallback to the * group's value
+    body2 = "User-agent: mybot\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 5\n"
+    df2 = spark.createDataFrame([("h", body2)], "host string, robots_txt string")
+    assert (
+        robots_rfc9309_from_bodies(df2, agent="mybot").collect()[0]["crawl_delay"]
+        is None
+    )
+
+
 def test_shared_group_header(spark):
     # one rule block under two UA lines applies to both
     body = "User-agent: a\nUser-agent: *\nDisallow: /x\n"
