@@ -123,10 +123,9 @@ def resolve_ref(base: Column, ref: Column) -> Column:
         )
         .when(r.startswith("//"), F.concat(b_scheme, F.lit(":"), r_nofrag))
         .when(r_nofrag == "", b_nofrag)
-        .when(
-            r.startswith("?"),
-            F.concat(b_root, F.when(b_path == "", F.lit("/")).otherwise(b_path), r_query),
-        )
+        # query-only ref: T.path = base.path VERBATIM (RFC 3986 §5.3) —
+        # including an empty path ('https://h?q'), matching urljoin
+        .when(r.startswith("?"), F.concat(b_root, b_path, r_query))
         .when(
             r.startswith("/"),
             F.concat(b_root, _remove_dot_segments(r_path), r_query),
