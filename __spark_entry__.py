@@ -1394,6 +1394,58 @@ def _q_cuckoo_unseen(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Ordering note: the driver's per-round CORRECTNESS window samples
+        # queries in registry order (~50/round). Queries that have never
+        # received a driver-oracle row are listed FIRST so round 4 covers
+        # them; the long-green round-1/2 set (3 rounds of driver evidence)
+        # follows. Union across rounds = full registry.
+        "cdx_latest_index": _q_cdx_latest_index,
+        "corpus_classify": _q_corpus_classify,
+        "robots_rules": _q_robots_rules,
+        "span_dedup": _q_span_dedup,
+        "linkgraph_pagerank": _q_linkgraph_pagerank,
+        "sequence_pack": _q_sequence_pack,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "recrawl_report": _q_recrawl_report,
+        "fetch_sessions": _q_sessionize,
+        "lm_familiarity": _q_lm_familiarity,
+        "snapshot_asof": _q_snapshot_asof,
+        "cdx_closest": _q_cdx_closest,
+        "cdx_collapse_digest": _q_cdx_collapse_digest,
+        "cdx_collapse_time": _q_cdx_collapse_time,
+        "crawl_rollup": _q_crawl_rollup,
+        "latency_quantiles": _q_latency_quantiles,
+        "recrawl_schedule": _q_recrawl_schedule,
+        "interval_match": _q_interval_match,
+        "url_filter": _q_url_filter,
+        "host_reputation": _q_host_reputation,
+        "incremental_neardups": _q_incremental_neardups,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "trap_detect": _q_trap_detect,
+        "host_link_summary": _q_host_link_summary,
+        "cuckoo_unseen": _q_cuckoo_unseen,
+        "anchor_terms": _q_anchor_terms,
+        "registrable_rollup": _q_registrable_rollup,
+        "redirect_rollup": _q_redirect_rollup,
+        "sitemap_parse": _q_sitemap_parse,
+        "mix_plan": _q_mix_plan,
+        "semdedup": _q_semdedup,
+        "revisit_rollup": _q_revisit_rollup,
+        "sitemap_recrawl": _q_sitemap_recrawl,
+        "shuffle_layout": _q_shuffle_layout,
+        "main_text": _q_main_text,
+        "dupe_census": _q_dupe_census,
+        "politeness_audit": _q_politeness_audit,
+        "mix_execute": _q_mix_execute,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "robots_wildcard": _q_robots_wildcard,
+        "fetch_timetable": _q_fetch_timetable,
+        "dsir_select": _q_dsir_select,
+        "outlink_extract": _q_outlink_extract,
+        "mirror_detect": _q_mirror_detect,
+        "nofollow_outlinks": _q_nofollow_outlinks,
+        "canonical_cluster": _q_canonical_cluster,
+        # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "flagship_classify": _q_flagship,
         "pricing_summary": _q_pricing_summary,
         "time_range_rollup": _q_time_range,
@@ -1444,52 +1496,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_strip": _q_url_param_strip,
         "text_chunks": _q_text_chunks,
         "warc_ingest_targeted": _q_warc_ingest_targeted,
-        "cdx_latest_index": _q_cdx_latest_index,
-        "corpus_classify": _q_corpus_classify,
-        "robots_rules": _q_robots_rules,
-        "span_dedup": _q_span_dedup,
-        "linkgraph_pagerank": _q_linkgraph_pagerank,
-        "sequence_pack": _q_sequence_pack,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "recrawl_report": _q_recrawl_report,
-        "fetch_sessions": _q_sessionize,
-        "lm_familiarity": _q_lm_familiarity,
-        "snapshot_asof": _q_snapshot_asof,
-        "cdx_closest": _q_cdx_closest,
-        "cdx_collapse_digest": _q_cdx_collapse_digest,
-        "cdx_collapse_time": _q_cdx_collapse_time,
-        "crawl_rollup": _q_crawl_rollup,
-        "latency_quantiles": _q_latency_quantiles,
-        "recrawl_schedule": _q_recrawl_schedule,
-        "interval_match": _q_interval_match,
-        "url_filter": _q_url_filter,
-        "host_reputation": _q_host_reputation,
-        "incremental_neardups": _q_incremental_neardups,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "trap_detect": _q_trap_detect,
-        "host_link_summary": _q_host_link_summary,
-        "cuckoo_unseen": _q_cuckoo_unseen,
-        "anchor_terms": _q_anchor_terms,
-        "registrable_rollup": _q_registrable_rollup,
-        "redirect_rollup": _q_redirect_rollup,
-        "sitemap_parse": _q_sitemap_parse,
-        "mix_plan": _q_mix_plan,
-        "semdedup": _q_semdedup,
-        "revisit_rollup": _q_revisit_rollup,
-        "sitemap_recrawl": _q_sitemap_recrawl,
-        "shuffle_layout": _q_shuffle_layout,
-        "main_text": _q_main_text,
-        "dupe_census": _q_dupe_census,
-        "politeness_audit": _q_politeness_audit,
-        "mix_execute": _q_mix_execute,
-        "robots_sitemaps": _q_robots_sitemaps,
-        "robots_wildcard": _q_robots_wildcard,
-        "fetch_timetable": _q_fetch_timetable,
-        "dsir_select": _q_dsir_select,
-        "outlink_extract": _q_outlink_extract,
-        "mirror_detect": _q_mirror_detect,
-        "nofollow_outlinks": _q_nofollow_outlinks,
-        "canonical_cluster": _q_canonical_cluster,
     }
 
 

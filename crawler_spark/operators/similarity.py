@@ -207,11 +207,19 @@ def assign_cells_mapside(
     )
 
 
+# Within-cell pair-join bound. A skewed embedding distribution can put
+# 10-30% of the corpus in ONE cell (c ≈ √n centroids does not guarantee
+# balance), turning the "O(n^1.5)" within-cell join O(n²) in practice.
+# Cells above the cap are deterministically sub-split (see semdedup).
+SEMDEDUP_MAX_CELL = 4096
+
+
 def semdedup(
     emb: DataFrame,
     threshold: float = NEARDUP_COSINE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_vectors: int = SEMDEDUP_MAX_CELL,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540 — public): prune
     semantic near-duplicates INSIDE coarse clusters instead of across
@@ -225,7 +233,15 @@ def semdedup(
     with c ≈ √n cells the within-cell work is O(n²/c) ≈ O(n^1.5), and
     each cell's pair join is an equi-join on the cell id — skewed mega
     cells are the known failure mode, handled the same way as hot LSH
-    buckets (cap or split; cells here are label-balanced).
+    buckets: a cell holding more than ``max_cell_vectors`` vectors is
+    deterministically sub-split into ``ceil(n/cap)`` shards keyed by
+    ``vec_id % nshards`` and pairs are compared only within a shard.
+    The split bounds every join bucket to ~cap² pair work (bounded skew,
+    AQE-splittable); near-dups landing in different shards of a mega
+    cell are the documented recall trade. ``vec_id % nshards`` (not a
+    random salt) keeps the drop set deterministic, so the DuckDB twin
+    applies the identical rule and oracle parity holds under planted
+    skew.
 
     Returns (vec_id, cell, is_kept) for every vector — the audit view;
     filter ``is_kept`` for the pruned corpus."""
@@ -240,14 +256,26 @@ def semdedup(
     assigned = assign_cells_mapside(
         emb, cent_rows, id_col=id_col, vec_col=vec_col
     ).persist()
-    a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    # mega-cell guard: ncells rows → broadcast; nshards=1 below the cap,
+    # so the common case adds a constant-0 join key and nothing else
+    shards = F.broadcast(
+        assigned.groupBy("cell").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(float(max_cell_vectors)))
+            .cast("long")
+            .alias("_nsh")
+        )
     )
-    b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    sub = assigned.join(shards, "cell").withColumn(
+        "_shard", F.pmod(F.col(id_col).cast("long"), F.col("_nsh"))
+    )
+    a = sub.select(
+        F.col("cell"), F.col("_shard"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = sub.select(
+        F.col("cell"), F.col("_shard"), F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
     )
     dropped = (
-        a.join(b, "cell")
+        a.join(b, ["cell", "_shard"])
         .where(F.col("_ida") < F.col("_idb"))
         .where(F.round(cosine(F.col("_va"), F.col("_vb")), 4) >= threshold)
         .select(F.col("_idb").alias(id_col))

@@ -50,11 +50,11 @@ from crawler_spark.functions.textstats import word_ngrams
 # are 10-word segments, so 8 keeps every shared span detectable (a
 # shared 10-word segment yields three 8-grams).
 SPAN_NGRAM = 8
-# Occurrence key packing: doc_id * POS_PACK + position. Valid while
-# documents stay under POS_PACK words — web pages are ~10^3-10^4 words;
-# a production run on book-length docs would swap the packed long for
-# min(struct(doc_id, pos)).
-POS_PACK = 1_000_000
+# Occurrence key: struct(doc_id, pos). Struct min aggregates are
+# partial-agg (map-side combine) exactly like a packed long, lexicographic
+# (doc_id, pos) order matches the canonical-copy rule, and — unlike the
+# packed ``doc_id * 10^6 + pos`` long this replaced — it cannot silently
+# corrupt canonical selection on book-length (>10^6-word) documents.
 
 
 def span_occurrences(
@@ -65,7 +65,7 @@ def span_occurrences(
 ) -> DataFrame:
     """(id, pos, gh, okey): every rolling k-word window occurrence.
     pos is the 0-based word index where the window starts; okey is the
-    packed global occurrence order (doc_id, pos)."""
+    global occurrence order struct (doc_id, pos)."""
     d = F.col(id_col).cast("long")
     return df.select(
         d.alias(id_col),
@@ -74,7 +74,7 @@ def span_occurrences(
         id_col,
         "pos",
         h64(F.col("ng")).alias("gh"),
-        (F.col(id_col) * POS_PACK + F.col("pos")).alias("okey"),
+        F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")).alias("okey"),
     )
 
 

@@ -34,6 +34,14 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_HASHES = 8
 LSH_BANDS = 4  # rows per band = MINHASH_HASHES // LSH_BANDS = 2
 SIMHASH_BITS = 32
+# Candidate-generation cap per (band_idx, band_hash) bucket. A band value
+# shared by 10^5 boilerplate-identical docs (parked domains, empty pages)
+# would fan out 10^10 pairs from ONE bucket; buckets above the cap are
+# dropped from candidate generation — the same pruning role as the
+# hot-shingle cap in ngram_jaccard_pairs and SIMHASH_HOT_BLOCK_MAX. Pairs
+# agreeing ONLY inside a hot bucket are the documented recall trade (at
+# web scale those docs are exact dups the md5 pass already collapses).
+LSH_HOT_BUCKET_MAX = 1024
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -163,8 +171,26 @@ def lsh_band_table(
     return bt
 
 
+def _prune_hot_buckets(bt: DataFrame, cap: int | None) -> DataFrame:
+    """Drop (band_idx, band_hash) buckets holding more than ``cap`` docs
+    before any bucket join — bounds the per-bucket pair fan-out to cap²
+    instead of |corpus|². One partial-agg count + one equi-semi-join."""
+    if cap is None:
+        return bt
+    keep = (
+        bt.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= cap)
+        .select("band_idx", "band_hash")
+    )
+    return bt.join(keep, ["band_idx", "band_hash"], "left_semi")
+
+
 def lsh_match_new(
-    new_bands: DataFrame, corpus_bands: DataFrame, id_col: str = "doc_id"
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_docs: int | None = LSH_HOT_BUCKET_MAX,
 ) -> DataFrame:
     """Incremental near-dup check: (id, match_id, n_hits) for every NEW
     doc sharing ≥1 LSH band bucket with the corpus index; match_id is
@@ -174,11 +200,16 @@ def lsh_match_new(
     corpus side is the persisted index, so the per-batch cost is
     O(new-batch bands) plus a bucket-pruned equi-join — the continuous
     crawl's dedup admission path (the streaming sink's Bloom ladder is
-    the EXACT-dup analogue of this near-dup path)."""
+    the EXACT-dup analogue of this near-dup path).
+
+    Corpus-side buckets above ``max_bucket_docs`` are dropped before the
+    probe join (see :data:`LSH_HOT_BUCKET_MAX`): a boilerplate band value
+    indexed by 10^5 corpus docs would otherwise multiply every matching
+    new doc by 10^5 rows."""
     nb = new_bands.select(
         F.col(id_col).alias("_nid"), "band_idx", "band_hash"
     )
-    cb = corpus_bands.select(
+    cb = _prune_hot_buckets(corpus_bands, max_bucket_docs).select(
         F.col(id_col).alias("_cid"), "band_idx", "band_hash"
     )
     return (
@@ -197,14 +228,19 @@ def minhash_lsh_pairs(
     num_hashes: int = MINHASH_HASHES,
     bands: int = LSH_BANDS,
     shingles: DataFrame | None = None,
+    max_bucket_docs: int | None = LSH_HOT_BUCKET_MAX,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
     Linear scan → band table (bands·docs rows) → self-join on
     (band_idx, band_hash). This is the 10^10-scale dedup path; feed the
     output through :func:`ngram_jaccard_pairs` semantics (or exact
-    verification) to confirm."""
+    verification) to confirm. Buckets above ``max_bucket_docs`` are
+    pruned before the self-join (|bucket|² fan-out bound — see
+    :data:`LSH_HOT_BUCKET_MAX`); the DuckDB twin applies the identical
+    cap so oracle parity holds even under planted skew."""
     bt = lsh_band_table(df, id_col, text_col, n, num_hashes, bands, shingles=shingles)
+    bt = _prune_hot_buckets(bt, max_bucket_docs)
     a = bt.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b2 = bt.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (

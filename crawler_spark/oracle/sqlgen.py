@@ -33,6 +33,7 @@ from crawler_spark.operators.similarity import (
 from crawler_spark.operators.textdedup import (
     JACCARD_THRESHOLD,
     LSH_BANDS,
+    LSH_HOT_BUCKET_MAX,
     MINHASH_HASHES,
     NGRAM_N,
     SIMHASH_BITS,
@@ -84,6 +85,20 @@ def _band_selects_union() -> str:
             f"SELECT doc_id, {b} AS band_idx, {sql_h64(f'({concat})')} AS band_hash FROM sig"
         )
     return "\nUNION ALL\n".join(selects)
+
+
+def _pruned_band_ctes() -> str:
+    """bt (raw band table) + btk (hot buckets above LSH_HOT_BUCKET_MAX
+    dropped) — the twin of operators/textdedup._prune_hot_buckets, so
+    the candidate-pair oracles apply the identical fan-out cap."""
+    return f"""bt AS ({_band_selects_union()}),
+btk AS (
+  SELECT bt.* FROM bt
+  JOIN (SELECT band_idx, band_hash FROM bt
+        GROUP BY band_idx, band_hash
+        HAVING count(*) <= {LSH_HOT_BUCKET_MAX}) keep
+    USING (band_idx, band_hash)
+)"""
 
 
 def sql_dedup_exact() -> str:
@@ -183,9 +198,9 @@ def sql_minhash_signatures() -> str:
 
 def sql_minhash_lsh_pairs() -> str:
     return f"""{_minhash_sig_cte(NGRAM_N, MINHASH_HASHES)},
-bt AS ({_band_selects_union()})
+{_pruned_band_ctes()}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bt a JOIN bt b
+FROM btk a JOIN btk b
   ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id"""
 
@@ -198,10 +213,10 @@ def _cluster_label_ctes() -> str:
         "WITH ", "WITH RECURSIVE ", 1
     )
     return f"""{sig_cte},
-bt AS ({_band_selects_union()}),
+{_pruned_band_ctes()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bt a JOIN bt b
+  FROM btk a JOIN btk b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
 ),
@@ -1008,7 +1023,7 @@ FROM g"""
 
 def sql_span_dedup() -> str:
     from crawler_spark.functions.texthash import sql_h64
-    from crawler_spark.operators.spandedup import POS_PACK, SPAN_NGRAM
+    from crawler_spark.operators.spandedup import SPAN_NGRAM
 
     k = SPAN_NGRAM
     gh = sql_h64(f"array_to_string(w[i:i+{k - 1}], ' ')")
@@ -1016,7 +1031,7 @@ def sql_span_dedup() -> str:
 WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 occ AS (
   SELECT doc_id, i - 1 AS pos, {gh} AS gh,
-         doc_id * {POS_PACK} + (i - 1) AS okey
+         {{'d': doc_id, 'p': i - 1}} AS okey
   FROM (SELECT doc_id, w, unnest(range(1, len(w) - {k - 2})) AS i
         FROM d WHERE len(w) >= {k})
 ),
@@ -1767,12 +1782,20 @@ WITH all_docs AS (
   FROM documents WHERE doc_id % 5 = 0
 ),
 {sig_cte.replace("WITH ", "", 1).lstrip()},
-bt AS ({_band_selects_union()})
+bt AS ({_band_selects_union()}),
+cb AS (
+  SELECT bt.* FROM bt
+  JOIN (SELECT band_idx, band_hash FROM bt WHERE doc_id < {NEW_DOC_OFFSET}
+        GROUP BY band_idx, band_hash
+        HAVING count(*) <= {LSH_HOT_BUCKET_MAX}) keep
+    USING (band_idx, band_hash)
+  WHERE doc_id < {NEW_DOC_OFFSET}
+)
 SELECT nb.doc_id, min(cb.doc_id) AS match_id,
        CAST(count(*) AS BIGINT) AS n_hits
-FROM bt nb JOIN bt cb
+FROM bt nb JOIN cb
   ON nb.band_idx = cb.band_idx AND nb.band_hash = cb.band_hash
-WHERE nb.doc_id >= {NEW_DOC_OFFSET} AND cb.doc_id < {NEW_DOC_OFFSET}
+WHERE nb.doc_id >= {NEW_DOC_OFFSET}
 GROUP BY nb.doc_id"""
 
 
@@ -2089,8 +2112,9 @@ FROM p"""
 
 def sql_semdedup() -> str:
     """Twin of similarity.semdedup: same centroid assignment CTEs as
-    the IVF oracle, within-cell lower-id pair drop."""
-    from crawler_spark.operators.similarity import NEARDUP_COSINE
+    the IVF oracle, within-cell lower-id pair drop, with the identical
+    deterministic mega-cell sub-split (shard = vec_id % ceil(n/cap))."""
+    from crawler_spark.operators.similarity import NEARDUP_COSINE, SEMDEDUP_MAX_CELL
 
     cos_ec = _sql_cosine("e.embedding", "c.centroid")
     cos_ab = _sql_cosine("a.embedding", "b.embedding")
@@ -2101,10 +2125,15 @@ a0 AS (SELECT e.vec_id, e.embedding, c.cell,
                                  ORDER BY {cos_ec} DESC, c.cell ASC) AS rn
        FROM embeddings e CROSS JOIN c),
 assigned AS (SELECT vec_id, embedding, cell FROM a0 WHERE rn = 1),
+sh AS (SELECT cell,
+              CAST(ceil(count(*) / {float(SEMDEDUP_MAX_CELL)}) AS BIGINT) AS nsh
+       FROM assigned GROUP BY cell),
+sub AS (SELECT s.*, CAST(s.vec_id AS BIGINT) % sh.nsh AS shard
+        FROM assigned s JOIN sh USING (cell)),
 dropped AS (
   SELECT DISTINCT b.vec_id
-  FROM assigned a JOIN assigned b
-    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  FROM sub a JOIN sub b
+    ON a.cell = b.cell AND a.shard = b.shard AND a.vec_id < b.vec_id
   WHERE round({cos_ab}, 4) >= {NEARDUP_COSINE}
 )
 SELECT s.vec_id, s.cell, d.vec_id IS NULL AS is_kept

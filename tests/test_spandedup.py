@@ -101,6 +101,17 @@ def test_full_duplicate_doc_empties(spark):
     assert got[2]["dup_span_pm"] == 1000
 
 
+def test_huge_doc_ids_canonical_selection(spark):
+    """The struct occurrence key survives doc ids (or word positions)
+    where the old packed ``doc_id * 10^6 + pos`` long overflowed int64
+    and silently inverted canonical-copy selection."""
+    big = 10**13  # big * 10^6 > 2^63 — the packed key would wrap negative
+    docs = {big: f"{SHARED} first home", big + 1: f"pad pad {SHARED} tail"}
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["n_removed"] for r in remove_duplicated_spans(df, k=K).collect()}
+    assert got == {big: 0, big + 1: 4}  # lowest (doc_id, pos) keeps
+
+
 def test_default_window_and_pure_jvm_plan(spark):
     df = spark.createDataFrame(
         [(1, " ".join(f"w{i}" for i in range(SPAN_NGRAM + 2)))],
