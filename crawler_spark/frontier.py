@@ -60,6 +60,13 @@ from crawler_spark.operators.bloom import (
     required_buckets,
     update_blooms,
 )
+from crawler_spark.operators.cuckoo import (
+    CUCKOO_HASH_VERSION,
+    build_cuckoo,
+    delete_cuckoo,
+    probe_cuckoo_broadcast,
+    update_cuckoo,
+)
 from crawler_spark.operators.dedup import filter_unseen_pruned, first_wins
 from crawler_spark.operators.politeness import admit_per_host
 from crawler_spark.operators.robots import (
@@ -168,6 +175,7 @@ class FrontierCrawler:
         adaptive: bool = False,
         traps: DataFrame | None = None,
         robots_mode: str = "prefix",
+        seen_mode: str = "bloom",
     ):
         """adaptive=True enables the AdaptiveRateLimiter semantics
         (reference src/utils/rate_limiter.py:184-207): each round's
@@ -199,6 +207,21 @@ class FrontierCrawler:
         # on a mode/table-shape mismatch instead of deep inside round 1.
         if robots_mode not in ("prefix", "rfc9309"):
             raise ValueError(f"unknown robots_mode {robots_mode!r}")
+        # URL-seen accelerator form (the north rule's "Bloom/cuckoo"):
+        # 'bloom' (default) = 10 bits/key, no deletion — retraction
+        # rebuilds the affected bucket blobs from the exact table;
+        # 'cuckoo' = ~19 bytes/key partial-key filter with O(1) per-key
+        # DELETION (operators/cuckoo.delete_cuckoo), so retract() is a
+        # per-fingerprint update instead of a rebuild. Either way the
+        # exact url_seen table is the membership truth (probe maybe →
+        # exact confirm), so the unseen set is identical across modes.
+        if seen_mode not in ("bloom", "cuckoo"):
+            raise ValueError(f"unknown seen_mode {seen_mode!r}")
+        self.seen_mode = seen_mode
+        # snapshot-table name for the filter blobs: kept distinct per
+        # form so a store written in one mode fails fast when reopened
+        # in the other (resume reads meta from the mode's own table)
+        self._ftable = "blooms" if seen_mode == "bloom" else "cuckoo"
         if robots is not None:
             need = "rules" if robots_mode == "rfc9309" else "disallow_prefixes"
             if need not in robots.columns:
@@ -270,9 +293,21 @@ class FrontierCrawler:
     def _bloom_meta(self, round_no: int) -> dict:
         return {
             "round": round_no,
-            "hash_version": BLOOM_HASH_VERSION,
+            "hash_version": (
+                BLOOM_HASH_VERSION if self.seen_mode == "bloom" else CUCKOO_HASH_VERSION
+            ),
             "num_buckets": self._num_buckets,
         }
+
+    def _filter_version(self) -> int:
+        return BLOOM_HASH_VERSION if self.seen_mode == "bloom" else CUCKOO_HASH_VERSION
+
+    def _build_filters(self, seen: DataFrame, headroom: int = 1) -> DataFrame:
+        """Per-bucket filter blobs from the exact seen table, in the
+        session's seen_mode form."""
+        if self.seen_mode == "cuckoo":
+            return build_cuckoo(seen, cfg=self._rcfg(), headroom=headroom)
+        return build_blooms(seen, cfg=self._rcfg(), headroom=headroom)
 
     def _canonical_frontier(self, urls: DataFrame, depth_col, priority_col) -> DataFrame:
         """urls(url[, ...]) → frontier rows with canonical keys. When a
@@ -337,14 +372,18 @@ class FrontierCrawler:
         self.store.write("frontier", frontier, meta={"round": 0})
         self.store.write("url_seen", empty_seen, meta={"round": 0})
         self.store.write(
-            "blooms", build_blooms(empty_seen, cfg=self._rcfg()), meta=self._bloom_meta(0)
+            self._ftable, self._build_filters(empty_seen), meta=self._bloom_meta(0)
         )
         self.store.commit_state(
             {
                 "round": 0,
                 "num_buckets": self._num_buckets,
                 "seen_total": 0,
-                "tables": {t: self.store.current_version(t) for t in ("frontier", "url_seen", "blooms")},
+                "seen_mode": self.seen_mode,
+                "tables": {
+                    t: self.store.current_version(t)
+                    for t in ("frontier", "url_seen", self._ftable)
+                },
             }
         )
 
@@ -370,26 +409,119 @@ class FrontierCrawler:
         self._seen_total = int(state.get("seen_total", -1))
         if self._seen_total < 0:  # pre-tracking store: one count at resume
             self._seen_total = self.store.read(self.spark, "url_seen").count()
-        # Bloom blobs from a different bit-position scheme would yield
+        # a store written in the other seen_mode has no blobs under this
+        # mode's table — fail fast instead of probing a missing table
+        mode_written = state.get("seen_mode", "bloom")
+        if mode_written != self.seen_mode:
+            raise ValueError(
+                f"store was written with seen_mode={mode_written!r}; "
+                f"resume with the same mode (got {self.seen_mode!r})"
+            )
+        # Filter blobs from a different hash/slot scheme would yield
         # false NEGATIVES on probe (silent url_seen breakage) — rebuild
         # from the exact seen table on any stamp mismatch.
-        meta = self.store.meta("blooms")
-        if meta.get("hash_version") != BLOOM_HASH_VERSION or (
+        meta = self.store.meta(self._ftable)
+        if meta.get("hash_version") != self._filter_version() or (
             meta.get("num_buckets") not in (None, self._num_buckets)
         ):
             seen = self.store.read(self.spark, "url_seen")
             self.store.write(
-                "blooms",
-                build_blooms(seen, cfg=self._rcfg(), headroom=4),
+                self._ftable,
+                self._build_filters(seen, headroom=4),
                 meta=self._bloom_meta(int(state["round"])),
             )
-            state["tables"]["blooms"] = self.store.current_version("blooms")
+            state["tables"][self._ftable] = self.store.current_version(self._ftable)
             self.store.commit_state(state)
         return int(state["round"])
 
     def _budget_from_rate(self) -> int:
         p = self.cfg.politeness
         return max(1, int(p.burst + self._rate * p.round_duration_s))
+
+    # --------------------------------------------------------- retraction --
+    def retract(self, urls: DataFrame) -> int:
+        """Remove URLs from the url_seen set so they become schedulable
+        again — the crawl-state operation behind recrawl invalidation
+        and fetch-retraction (the reference's seen set is an in-memory
+        Python set, src/crawler.py:54-55,181-186, where retraction is
+        ``set.discard``; here the seen set is a 10^10-row table with a
+        probabilistic accelerator in front of it).
+
+        Semantics: canonicalize ``urls(url)``, drop the matching rows
+        from the exact ``url_seen`` table, and retire their filter
+        entries. This is where the two seen_mode forms differ at scale:
+
+        - ``cuckoo``: one O(1) fingerprint deletion per retracted key
+          (operators/cuckoo.delete_cuckoo) — O(|delta| + blob bytes)
+          total, the capability that justifies cuckoo's ~19 bytes/key
+          over the Bloom's 10 bits;
+        - ``bloom``: bits cannot be unset, so the affected buckets'
+          blobs are REBUILT from the exact table — O(bucket rows), not
+          O(delta).
+
+        Either way correctness does not depend on the filter update: a
+        stale maybe only costs an exact-confirm row, and the exact
+        table (the truth) no longer holds the key, so the URL re-enters
+        as unseen. Call between rounds (not concurrently with
+        run_round); commits a new durable state. Returns the number of
+        seen rows retracted."""
+        spark, store = self.spark, self.store
+        state = store.restore_state()
+        if state is None:
+            raise RuntimeError("no committed state (run init_from_seeds first)")
+        keys = (
+            urls.withColumn("c", canonicalize_udf("url"))
+            .select(F.col("c.surt").alias("surt"))
+            .where(F.col("surt").isNotNull())
+            .distinct()
+        )
+        seen = store.read(spark, "url_seen")
+        # only keys actually present may be deleted from a cuckoo filter
+        # (deleting a never-inserted fingerprint could evict a live
+        # colliding key's occurrence — the standard cuckoo caveat); the
+        # same semi-join also gives bloom mode its affected-bucket list
+        present = seen.join(F.broadcast(keys), "surt", "left_semi").persist()
+        n = present.count()
+        if n == 0:
+            present.unpersist()
+            return 0
+        remaining = seen.join(F.broadcast(keys), "surt", "left_anti")
+        rnd = int(state["round"])
+        store.write(
+            "url_seen",
+            remaining.sortWithinPartitions("bucket"),
+            meta={"round": rnd, "retracted": n},
+        )
+        filters = store.read(spark, self._ftable)
+        if self.seen_mode == "cuckoo":
+            new_f = delete_cuckoo(filters, present.select("surt"), cfg=self._rcfg())
+        else:
+            buckets = [r[0] for r in present.select("bucket").distinct().collect()]
+            rebuilt = self._build_filters(
+                store.read(spark, "url_seen").where(F.col("bucket").isin(buckets)),
+                headroom=4,
+            )
+            new_f = filters.where(~F.col("bucket").isin(buckets)).unionByName(rebuilt)
+        obs = Observation()
+        if self.seen_mode == "bloom":
+            new_f = new_f.observe(obs, F.sum("m").alias("bits"))
+        fv = store.write(self._ftable, new_f, meta=self._bloom_meta(rnd))
+        if self.seen_mode == "bloom":
+            store.amend_meta(
+                self._ftable, {"total_bits": int(obs.get["bits"] or 0)}, version=fv
+            )
+        present.unpersist()
+        # a fresh (un-resumed) crawler object tracks 0 — trust the state
+        self._seen_total = max(
+            0, int(state.get("seen_total", self._seen_total)) - n
+        )
+        state["seen_total"] = self._seen_total
+        state["seen_mode"] = self.seen_mode
+        state.setdefault("tables", {})
+        state["tables"]["url_seen"] = store.current_version("url_seen")
+        state["tables"][self._ftable] = store.current_version(self._ftable)
+        store.commit_state(state)
+        return n
 
     # ------------------------------------------------------------ round --
     def run_round(self, round_no: int, measure: bool = True) -> RoundMetrics:
@@ -407,7 +539,7 @@ class FrontierCrawler:
 
         frontier = store.read(spark, "frontier")
         seen = store.read(spark, "url_seen")
-        blooms = store.read(spark, "blooms")
+        filters = store.read(spark, self._ftable)
 
         # 1. within-frontier dedupe: one candidate per surt. Order is fully
         #    deterministic: priority, then failure_count desc (a retrying
@@ -433,13 +565,18 @@ class FrontierCrawler:
             .observe(obs_cand, F.count(F.lit(1)).alias("n"))
         )
 
-        # 2. URL-seen anti-join: Bloom prefilter, exact confirm against
-        #    Bloom-positive buckets only. The bucket-prune collect inside is
-        #    the round's first job; it fills the probed cache and fires
-        #    obs_cand.
+        # 2. URL-seen anti-join: filter prefilter (Bloom word-probe or
+        #    cuckoo slot-probe — same maybe/confirm contract, identical
+        #    exact unseen set), exact confirm against probe-positive
+        #    buckets only. The bucket-prune collect inside is the round's
+        #    first job; it fills the probed cache and fires obs_cand.
         ur = filter_unseen_pruned(
-            candidates, seen, blooms, cfg=rcfg,
-            total_bits=store.meta("blooms").get("total_bits"),
+            candidates, seen, filters, cfg=rcfg,
+            total_bits=(
+                store.meta(self._ftable).get("total_bits")
+                if self.seen_mode == "bloom" else None
+            ),
+            probe=probe_cuckoo_broadcast if self.seen_mode == "cuckoo" else None,
         )
         _tr("prune_probe")
         unseen = ur.unseen
@@ -619,15 +756,44 @@ class FrontierCrawler:
             seen_version = store.write(
                 "url_seen", newly_seen, meta={"round": round_no}, append=True
             )
-            # bloom maintenance: fold in ONLY this round's delta; overflow
+            # filter maintenance: fold in ONLY this round's delta; overflow
             # detection and the next round's broadcast-size hint both ride
             # the write's Observation — the common path is ONE job, no
             # standalone collect. Buckets that would overflow their target
-            # FP rate are rebuilt from the exact table (amortized-rare:
-            # fresh buckets carry 4× headroom).
+            # FP rate / load factor are rebuilt from the exact table
+            # (amortized-rare: fresh buckets carry 4× headroom).
             delta = store.read_delta(spark, "url_seen", seen_version)
+            if self.seen_mode == "cuckoo":
+                obs_ck = Observation()
+                new_f = update_cuckoo(filters, delta, cfg=rcfg).observe(
+                    obs_ck,
+                    F.sum(
+                        F.when(F.col("slots").isNull(), 1).otherwise(0)
+                    ).alias("overflow"),
+                )
+                store.write(self._ftable, new_f, meta=self._bloom_meta(round_no))
+                if int(obs_ck.get["overflow"] or 0):
+                    written = store.read(spark, self._ftable)
+                    overflow = [
+                        r[0]
+                        for r in written.where(F.col("slots").isNull())
+                        .select("bucket")
+                        .collect()
+                    ]
+                    rebuilt = build_cuckoo(
+                        store.read(spark, "url_seen").where(
+                            F.col("bucket").isin(overflow)
+                        ),
+                        cfg=rcfg,
+                        headroom=4,
+                    )
+                    final = written.where(
+                        ~F.col("bucket").isin(overflow)
+                    ).unionByName(rebuilt)
+                    store.write(self._ftable, final, meta=self._bloom_meta(round_no))
+                return
             obs_bloom = Observation()
-            new_blooms = update_blooms(blooms, delta, cfg=rcfg).observe(
+            new_blooms = update_blooms(filters, delta, cfg=rcfg).observe(
                 obs_bloom,
                 F.sum("m").alias("bits"),
                 F.sum(F.when(F.col("bits").isNull(), 1).otherwise(0)).alias("overflow"),
@@ -727,8 +893,8 @@ class FrontierCrawler:
                 "url_seen", rebucketed, meta={"round": round_no, "rebucketed_to": need_b}
             )
             store.write(
-                "blooms",
-                build_blooms(store.read(spark, "url_seen"), cfg=rcfg2, headroom=4),
+                self._ftable,
+                self._build_filters(store.read(spark, "url_seen"), headroom=4),
                 meta=self._bloom_meta(round_no),
             )
 
@@ -747,9 +913,13 @@ class FrontierCrawler:
                 "rate": self._rate,
                 "num_buckets": self._num_buckets,
                 "seen_total": self._seen_total,
+                "seen_mode": self.seen_mode,
                 "tables": {
                     t: self.store.current_version(t)
-                    for t in ("frontier", "url_seen", "blooms", "results", "failures", "metrics")
+                    for t in (
+                        "frontier", "url_seen", self._ftable,
+                        "results", "failures", "metrics",
+                    )
                 },
             }
         )

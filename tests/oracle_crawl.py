@@ -9,9 +9,28 @@ round-by-round (admitted schedules) and at the end (URL-seen set)."""
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, replace
 
 from crawler_spark.functions.url import canonicalize_one
+
+
+def rfc9309_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """Independent RFC 9309 §2.2.2 verdict (regex-based, no Spark):
+    longest raw matching pattern wins, allow wins length ties, no match
+    → allowed. Same reference logic as tests/test_fuzz_parsers._py_match
+    (duplicated on purpose: the loop oracle must not import from another
+    test module)."""
+    best = None  # (len, allow)
+    for pattern, allow in rules:
+        rx = "^" + re.escape(pattern).replace(r"\*", ".*")
+        if rx.endswith(r"\$"):
+            rx = rx[:-2] + "$"
+        if re.match(rx, path):
+            key = (len(pattern), allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
 
 
 @dataclass(frozen=True)
@@ -44,8 +63,15 @@ def oracle_crawl(
     max_attempts: int,
     rounds: int,
     round_duration_s: float = 30.0,
+    robots_mode: str = "prefix",
 ):
-    """Returns (admitted_schedule_per_round, final_seen_set, results_urls_any_fetch)."""
+    """Returns (admitted_schedule_per_round, final_seen_set, results_urls_any_fetch).
+
+    robots_mode='prefix' (reference parity): ``robots`` maps host →
+    (disallow_prefixes, crawl_delay). robots_mode='rfc9309': host →
+    (rules, crawl_delay) with rules = [(pattern, allow), ...]; the gate
+    is :func:`rfc9309_allowed` (wildcards, $-anchor, longest-match,
+    allow-wins-ties) — the oracle twin of operators/robots.gate_rfc9309."""
     frontier = canon_rows([(u, -sid) for sid, u in seeds], 0)
     seen: set[str] = set()
     schedules: list[list[Row]] = []
@@ -64,8 +90,11 @@ def oracle_crawl(
         # 3. robots gate + crawl_delay budget
         allowed, budgets = [], {}
         for c in unseen:
-            prefixes, delay = robots.get(c.host, ([], None))
-            if any(c.path.startswith(p) for p in prefixes):
+            rules, delay = robots.get(c.host, ([], None))
+            if robots_mode == "rfc9309":
+                if not rfc9309_allowed(c.path, rules):
+                    continue
+            elif any(c.path.startswith(p) for p in rules):
                 continue
             allowed.append(c)
             if delay is not None and delay > 0:

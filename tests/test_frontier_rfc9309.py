@@ -88,6 +88,100 @@ def test_prefix_mode_treats_wildcard_literally(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_rfc9309_full_loop_matches_oracle(spark, tmp_path):
+    """Full-loop ordering equality in rfc9309 mode: multi-round BFS with
+    links, wildcard/anchor/Allow rules and crawl-delays, compared
+    round-by-round against the pure-Python oracle
+    (tests/oracle_crawl.oracle_crawl with robots_mode='rfc9309') — the
+    same contract test_frontier runs for the prefix gate. This is what
+    lets the rfc9309 mode carry the same evidence as the default."""
+    import zlib
+
+    from crawler_spark.functions.robots_parse import RULES_TYPE
+    from crawler_spark.sources.corpus import (
+        generate_links,
+        generate_pages,
+        generate_seeds,
+    )
+    from tests.oracle_crawl import oracle_crawl
+
+    n_pages, n_seeds, budget, rounds = 400, 25, 6, 3
+    pages = generate_pages(spark, n_pages, num_warcs=3).cache()
+    links = generate_links(spark, n_pages, avg_fanout=3).cache()
+    seeds = generate_seeds(spark, n_seeds, n_pages).cache()
+
+    # deterministic per-host wildcard rule sets — the SAME input rows
+    # feed the Spark gate (as a rules table) and the oracle (as a dict);
+    # the two sides then MATCH them independently (JVM LIKE fold vs the
+    # oracle's regex reference)
+    from crawler_spark.functions.url import canonicalize_udf
+
+    hosts = sorted(
+        r["host"]
+        for r in pages.select(canonicalize_udf("url")["host"].alias("host"))
+        .where(F.col("host").isNotNull())
+        .distinct()
+        .collect()
+    )
+    rule_rows, robot_map = [], {}
+    for h in hosts:
+        hv = zlib.crc32(h.encode())
+        if hv % 3 == 0:
+            rules = [("/p/1*", False), ("/p/12*", True)]
+        elif hv % 3 == 1:
+            rules = [("/p/*3$", False)]
+        else:
+            rules = []
+        delay = float(hv % 4 + 1) if hv % 5 == 0 else None
+        rule_rows.append((h, rules, delay))
+        robot_map[h] = (rules, delay)
+    rules_df = spark.createDataFrame(
+        rule_rows, f"host string, rules {RULES_TYPE.replace('array', 'array', 1)}, crawl_delay double"
+    )
+
+    store = SnapshotStore(str(tmp_path / "rfc_loop"))
+    crawler = FrontierCrawler(
+        spark, store, pages, links=links, robots=rules_df, cfg=CFG,
+        budget=budget, robots_mode="rfc9309",
+    )
+    crawler.init_from_seeds(seeds)
+    metrics = crawler.run(rounds, from_round=0)
+
+    page_urls = {r["url"] for r in pages.select("url").distinct().collect()}
+    link_map: dict[str, list] = {}
+    for r in links.collect():
+        link_map.setdefault(r["src_url"], []).append(r["dst_url"])
+    seed_list = [(r["seed_id"], r["url"]) for r in seeds.orderBy("seed_id").collect()]
+    schedules, seen_expect, _ = oracle_crawl(
+        seed_list, page_urls, link_map, robot_map, budget,
+        CFG.max_retry_attempts, rounds, robots_mode="rfc9309",
+    )
+
+    seen = store.read(spark, "url_seen")
+    assert {r["surt"] for r in seen.collect()} == seen_expect
+    # per-round ordering contract: the sealed (host, surt) sequence per
+    # round equals the oracle's admitted-minus-retryable set, ordered
+    for rnd, sched in enumerate(schedules, start=1):
+        assert metrics[rnd - 1].admitted == len(sched), f"round {rnd}"
+        got = sorted(
+            (r["host"], r["surt"])
+            for r in seen.where(F.col("round") == rnd).collect()
+        )
+        expect_sealed = sorted(
+            (c.host, c.surt)
+            for c in sched
+            if c.url in page_urls
+            or c.failure_count + 1 >= CFG.max_retry_attempts
+        )
+        assert got == expect_sealed, f"round {rnd} sealed order"
+    # the wildcard gate must actually bite in-loop (not a vacuous pass)
+    assert sum(m.blocked for m in metrics) > 0
+    crawler.close()
+    for df in (pages, links, seeds):
+        df.unpersist()
+
+
+@pytest.mark.spark
 def test_bad_mode_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         FrontierCrawler(
