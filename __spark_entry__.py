@@ -50,6 +50,48 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("domain", "url", "schema", "confidence", "build_id", "warc_source")
 
 
+def _q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink round-trip under the driver oracle (SURVEY §2.2): the full
+    classification result set is exported through BOTH reference-parity
+    sinks (CSV with the reference column order, JSON lines —
+    sources/sinks.py; reference src/warc_processor.py:467-505), read
+    back from disk, and projected. A lossy write, a column-order slip,
+    or a null/empty round-trip bug shows up as a value-hash mismatch
+    against the closed-form oracle (2× flagship rows, tagged per sink).
+    The indicators array's content round-trip stays pytest-verified
+    (tests/test_sinks_targeted.py) — here it rides through both files
+    but is not part of the scalar hash projection."""
+    import os
+    import tempfile
+
+    from crawler_spark.sources.sinks import write_results_csv, write_results_json
+
+    docs = _t(spark, sf_dir, "documents")
+    res = classify_bulk(pages_from_documents(docs), min_confidence="medium")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "crawler_spark_sink_rt",
+        os.path.basename(os.path.normpath(sf_dir)) or "sf",
+    )
+    write_results_csv(res, base + "/csv", single_file=True)
+    write_results_json(res, base + "/json", single_file=True)
+    csv_back = spark.read.csv(
+        base + "/csv",
+        header=True,
+        schema=(
+            "domain string, url string, schema string, confidence string, "
+            "indicators string, build_id string, warc_source string"
+        ),
+    )
+    json_back = spark.read.json(base + "/json")
+    cols = ["domain", "url", "schema", "confidence", "build_id", "warc_source"]
+    return (
+        csv_back.select(*cols)
+        .withColumn("sink", F.lit("csv"))
+        .unionByName(json_back.select(*cols).withColumn("sink", F.lit("json")))
+    )
+
+
 # ------------------------------------------- relational (SURVEY §2.3-2.6) --
 
 
@@ -1399,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # received a driver-oracle row are listed FIRST so round 4 covers
         # them; the long-green round-1/2 set (3 rounds of driver evidence)
         # follows. Union across rounds = full registry.
+        "sink_roundtrip": _q_sink_roundtrip,
         "cdx_latest_index": _q_cdx_latest_index,
         "corpus_classify": _q_corpus_classify,
         "robots_rules": _q_robots_rules,
@@ -1502,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flagship_classify": SG.sql_flagship(),
+        "sink_roundtrip": SG.sql_sink_roundtrip(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

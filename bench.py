@@ -739,6 +739,26 @@ def main() -> None:
         "detail": res["detail"],
         "steal_pct": res["steal_pct"],
     }
+    if not one_shot:
+        # Per-round honesty check for the 16-core headline default
+        # (BENCH.md: on this SMT/oversubscribed box 16 cores beat 32 for
+        # the suite). A ~10 s no-Spark microprobe at 16 vs 32 procs —
+        # if a hardware change ever makes 32 genuinely faster, this
+        # line flips and the default should be revisited.
+        p = _cpu_ceiling((16, 32), reps=2)
+        cpu_r = round(p["cpu_units_per_sec_32"] / max(p["cpu_units_per_sec_16"], 1e-9), 3)
+        mem_r = round(p["mem_units_per_sec_32"] / max(p["mem_units_per_sec_16"], 1e-9), 3)
+        out["cores_check_16_vs_32"] = {
+            "cpu_throughput_ratio": cpu_r,
+            "mem_throughput_ratio": mem_r,
+            # the suite is shuffle/scan-shaped, i.e. bounded by DRAM
+            # streaming (BENCH.md) — measured here: 32 procs move LESS
+            # memory/s than 16 (SMT pairs share the memory pipes), which
+            # is why 16 stays the default. The CPU ratio is context: 32
+            # does win on cache-resident compute, so a future all-codegen
+            # suite (or real hardware) would flip on that axis instead.
+            "prefer_16_default": bool(mem_r < 1.25),
+        }
     print(json.dumps(out))
 
 

@@ -993,6 +993,17 @@ FROM documents
 WHERE doc_id % 10 < 4"""
 
 
+def sql_sink_roundtrip() -> str:
+    """Twin of __spark_entry__._q_sink_roundtrip: a LOSSLESS sink
+    round-trip means the read-back rows equal the rows that went in —
+    i.e. the flagship result set once per sink tag."""
+    return f"""
+WITH f AS ({sql_flagship()})
+SELECT domain, url, schema, confidence, build_id, warc_source, 'csv' AS sink FROM f
+UNION ALL
+SELECT domain, url, schema, confidence, build_id, warc_source, 'json' AS sink FROM f"""
+
+
 # ------------------------------------------------------------ robots parse --
 
 # robots_rules ground truth: bodies are a closed-form function of
