@@ -256,17 +256,25 @@ def semdedup(
     assigned = assign_cells_mapside(
         emb, cent_rows, id_col=id_col, vec_col=vec_col
     ).persist()
-    # mega-cell guard: ncells rows → broadcast; nshards=1 below the cap,
-    # so the common case adds a constant-0 join key and nothing else
-    shards = F.broadcast(
-        assigned.groupBy("cell").agg(
-            F.ceil(F.count(F.lit(1)) / F.lit(float(max_cell_vectors)))
-            .cast("long")
-            .alias("_nsh")
-        )
+    # mega-cell guard: per-cell shard counts are ncells scalars — collect
+    # them (one tiny agg over the persisted cache) and embed as a literal
+    # map, exactly like the centroid constants; the shard key is then a
+    # pure map-side expression, no join re-entering the plan. nshards=1
+    # below the cap, so the common case shards everything to 0.
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    nsh_map = F.create_map(
+        *[
+            lit
+            for r in sorted(sizes, key=lambda x: x["cell"])
+            for lit in (
+                F.lit(r["cell"]),
+                F.lit(-(-int(r["n"]) // max_cell_vectors)),
+            )
+        ]
     )
-    sub = assigned.join(shards, "cell").withColumn(
-        "_shard", F.pmod(F.col(id_col).cast("long"), F.col("_nsh"))
+    sub = assigned.withColumn(
+        "_shard",
+        F.pmod(F.col(id_col).cast("long"), F.element_at(nsh_map, F.col("cell"))),
     )
     a = sub.select(
         F.col("cell"), F.col("_shard"), F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")

@@ -174,9 +174,19 @@ def lsh_band_table(
 def _prune_hot_buckets(bt: DataFrame, cap: int | None) -> DataFrame:
     """Drop (band_idx, band_hash) buckets holding more than ``cap`` docs
     before any bucket join — bounds the per-bucket pair fan-out to cap²
-    instead of |corpus|². One partial-agg count + one equi-semi-join."""
+    instead of |corpus|². One partial-agg count + one equi-semi-join.
+
+    ``bt`` is persisted here: it feeds BOTH the count aggregate and the
+    semi-join probe (and the caller's pair join after that), and without
+    the cache the band-table subtree — shingle explode + k-min MinHash
+    shuffle — would execute once per consumer. At corpus scale the band
+    table is the PERSISTED Iceberg index (lsh_band_table docstring), so
+    the cache is the in-query stand-in for reading that table; Spark
+    evicts it LRU after the query, same contract as semdedup's
+    assignment cache."""
     if cap is None:
         return bt
+    bt = bt.persist()
     keep = (
         bt.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("_n"))
