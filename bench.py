@@ -684,6 +684,9 @@ R3_OPS = [
     "robots_wildcard", "fetch_timetable", "dsir_select", "outlink_extract",
     "mirror_detect", "nofollow_outlinks", "canonical_cluster", "ann_recall",
     "warc_outlinks", "url_param_strip", "simhash_neardups", "lsh_quality", "text_chunks",
+    # round-4 additions / round-4-guarded paths re-timed each round
+    "sink_roundtrip", "minhash_lsh_candidates", "incremental_neardups",
+    "dedup_clusters", "span_dedup",
 ]
 
 

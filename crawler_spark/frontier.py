@@ -64,6 +64,7 @@ from crawler_spark.operators.cuckoo import (
     CUCKOO_HASH_VERSION,
     build_cuckoo,
     delete_cuckoo,
+    probe_cuckoo,
     probe_cuckoo_broadcast,
     update_cuckoo,
 )
@@ -570,13 +571,34 @@ class FrontierCrawler:
         #    exact unseen set), exact confirm against probe-positive
         #    buckets only. The bucket-prune collect inside is the round's
         #    first job; it fills the probed cache and fires obs_cand.
+        if self.seen_mode == "cuckoo":
+            # broadcast the slot tables while they fit on every executor;
+            # beyond that, the cogrouped per-bucket probe (no single place
+            # ever holds all blobs) — same size rule as the Bloom pair,
+            # fed by the byte total piggybacked on the previous round's
+            # filter write (fallback: one tiny B-row aggregate)
+            tb = store.meta(self._ftable).get("total_slot_bytes")
+            if tb is None:
+                tb = (
+                    filters.agg(
+                        F.sum(F.coalesce(F.size("slots"), F.lit(0)))
+                    ).first()[0]
+                    or 0
+                ) * 4
+            probe = (
+                probe_cuckoo_broadcast
+                if tb <= cfg.bloom_broadcast_max_bytes
+                else probe_cuckoo
+            )
+        else:
+            probe = None
         ur = filter_unseen_pruned(
             candidates, seen, filters, cfg=rcfg,
             total_bits=(
                 store.meta(self._ftable).get("total_bits")
                 if self.seen_mode == "bloom" else None
             ),
-            probe=probe_cuckoo_broadcast if self.seen_mode == "cuckoo" else None,
+            probe=probe,
         )
         _tr("prune_probe")
         unseen = ur.unseen
@@ -770,9 +792,11 @@ class FrontierCrawler:
                     F.sum(
                         F.when(F.col("slots").isNull(), 1).otherwise(0)
                     ).alias("overflow"),
+                    F.sum(F.coalesce(F.size("slots"), F.lit(0))).alias("ints"),
                 )
-                store.write(self._ftable, new_f, meta=self._bloom_meta(round_no))
-                if int(obs_ck.get["overflow"] or 0):
+                fv = store.write(self._ftable, new_f, meta=self._bloom_meta(round_no))
+                vals = obs_ck.get
+                if int(vals["overflow"] or 0):
                     written = store.read(spark, self._ftable)
                     overflow = [
                         r[0]
@@ -787,10 +811,27 @@ class FrontierCrawler:
                         cfg=rcfg,
                         headroom=4,
                     )
-                    final = written.where(
-                        ~F.col("bucket").isin(overflow)
-                    ).unionByName(rebuilt)
-                    store.write(self._ftable, final, meta=self._bloom_meta(round_no))
+                    obs_rb = Observation()
+                    final = (
+                        written.where(~F.col("bucket").isin(overflow))
+                        .unionByName(rebuilt)
+                        .observe(
+                            obs_rb,
+                            F.sum(F.coalesce(F.size("slots"), F.lit(0))).alias("ints"),
+                        )
+                    )
+                    fv = store.write(self._ftable, final, meta=self._bloom_meta(round_no))
+                    store.amend_meta(
+                        self._ftable,
+                        {"total_slot_bytes": int(obs_rb.get["ints"] or 0) * 4},
+                        version=fv,
+                    )
+                else:
+                    store.amend_meta(
+                        self._ftable,
+                        {"total_slot_bytes": int(vals["ints"] or 0) * 4},
+                        version=fv,
+                    )
                 return
             obs_bloom = Observation()
             new_blooms = update_blooms(filters, delta, cfg=rcfg).observe(

@@ -337,6 +337,56 @@ def probe_cuckoo_broadcast(
     return out.select(*keep)
 
 
+def probe_cuckoo(
+    candidates: DataFrame,
+    filters: DataFrame,
+    key_col: str = "surt",
+    cfg: EngineConfig = DEFAULT,
+    out_col: str = "_maybe_seen",
+    bucket_out: str | None = None,
+) -> DataFrame:
+    """Cogrouped per-bucket cuckoo probe — the beyond-broadcast form
+    (exact analog of bloom.probe_blooms): at 10^10 seen keys the slot
+    tables total ~190 GB and cannot ship to every executor, so the
+    candidates shuffle by bucket (the same partitioning the exact
+    confirm join reuses) and each bucket's blob crosses the wire once
+    per bucket, never once per row. The membership arithmetic is the
+    vectorized numpy twin of the JVM broadcast probe
+    (:func:`contains_numpy`); unknown bucket ⇒ definitely-new, NULL
+    slots (deferred overflow rebuild) ⇒ all-maybe — correctness stays
+    filter-independent either way."""
+    cand_cols = candidates.columns
+    hashed = _hash_cols(candidates, key_col, cfg.num_host_buckets)
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in hashed.schema.fields
+    ) + f", {out_col} boolean"
+
+    def per_bucket(cand_pdf: pd.DataFrame, f_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return cand_pdf.assign(**{out_col: pd.Series([], dtype=bool)})
+        if len(f_pdf) == 0:
+            return cand_pdf.assign(**{out_col: False})
+        slots = f_pdf["slots"].iat[0]
+        if slots is None:
+            return cand_pdf.assign(**{out_col: True})
+        nb = int(f_pdf["nb"].iat[0])
+        hit = contains_numpy(
+            nb, slots, cand_pdf["_h1"].to_numpy(), cand_pdf["_h2"].to_numpy()
+        )
+        return cand_pdf.assign(**{out_col: hit})
+
+    probed = (
+        hashed.groupBy("_bucket")
+        .cogroup(filters.groupBy("bucket"))
+        .applyInPandas(per_bucket, out_schema)
+    )
+    keep = [*cand_cols, out_col]
+    if bucket_out:
+        probed = probed.withColumnRenamed("_bucket", bucket_out)
+        keep.append(bucket_out)
+    return probed.select(*keep)
+
+
 def filter_unseen_cuckoo(
     candidates: DataFrame,
     seen: DataFrame,

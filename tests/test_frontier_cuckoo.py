@@ -164,6 +164,71 @@ def test_bloom_retract_rebuilds_and_readmits(spark, corpus, tmp_path):
 
 
 @pytest.mark.spark
+def test_cogrouped_probe_matches_broadcast(spark):
+    """probe_cuckoo (cogrouped, beyond-broadcast form) and
+    probe_cuckoo_broadcast agree bit-for-bit on seen and unseen keys,
+    including fresh-bucket (definitely-new) candidates."""
+    from crawler_spark.config import EngineConfig
+    from crawler_spark.operators.cuckoo import build_cuckoo
+
+    cfg = EngineConfig(num_host_buckets=4)
+    seen = spark.createDataFrame(
+        [(f"com,example)/p/{i}",) for i in range(200)], "surt string"
+    )
+    filters = build_cuckoo(seen, cfg=cfg).persist()
+    cand = spark.createDataFrame(
+        [(f"com,example)/p/{i}",) for i in range(150, 350)]
+        + [(f"org,new)/q/{i}",) for i in range(40)],
+        "surt string",
+    )
+    from crawler_spark.operators.cuckoo import probe_cuckoo
+
+    bc = {
+        r["surt"]: r["_maybe_seen"]
+        for r in probe_cuckoo_broadcast(cand, filters, "surt", cfg).collect()
+    }
+    cg = {
+        r["surt"]: r["_maybe_seen"]
+        for r in probe_cuckoo(cand, filters, "surt", cfg).collect()
+    }
+    assert bc == cg
+    # every actually-seen key must probe maybe (no false negatives)
+    assert all(bc[f"com,example)/p/{i}"] for i in range(150, 200))
+    filters.unpersist()
+
+
+@pytest.mark.spark
+def test_cuckoo_cogrouped_loop_matches_broadcast_loop(spark, corpus, tmp_path):
+    """Force the beyond-broadcast probe path inside the loop (tiny
+    broadcast byte cap) — the crawl must be bit-identical to the
+    broadcast-path crawl."""
+    from dataclasses import replace
+
+    pages, links, seeds, robots = corpus
+    small = replace(CFG, bloom_broadcast_max_bytes=64)  # force cogroup
+    store = SnapshotStore(str(tmp_path / "cuckoo_cogroup"))
+    crawler = FrontierCrawler(
+        spark, store, pages, links=links, robots=robots, cfg=small,
+        budget=BUDGET, seen_mode="cuckoo",
+    )
+    crawler.init_from_seeds(seeds)
+    metrics = crawler.run(ROUNDS, from_round=0)
+    ref_store, ref_crawler, ref_metrics = _crawl(
+        spark, corpus, tmp_path, "cuckoo_bc_ref", "cuckoo"
+    )
+    got = {(r["surt"], r["round"]) for r in store.read(spark, "url_seen").collect()}
+    exp = {
+        (r["surt"], r["round"]) for r in ref_store.read(spark, "url_seen").collect()
+    }
+    assert got == exp
+    assert [(m.admitted, m.unseen) for m in metrics] == [
+        (m.admitted, m.unseen) for m in ref_metrics
+    ]
+    crawler.close()
+    ref_crawler.close()
+
+
+@pytest.mark.spark
 def test_seen_mode_mismatch_fails_fast(spark, corpus, tmp_path):
     pages, links, seeds, robots = corpus
     store = SnapshotStore(str(tmp_path / "mismatch"))
