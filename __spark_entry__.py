@@ -903,6 +903,42 @@ def _q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
+def _q_ngram_lm_counts(spark, sf_dir):
+    """Distributed n-gram LM sufficient statistics (Brants et al. 2007
+    shape, operators/ngramlm.py): per-order explode → partial-agg
+    count → tail prune BEFORE the backoff-context equi-join; exact
+    integer per-mille relative frequencies."""
+    from crawler_spark.operators.ngramlm import ngram_lm_counts
+
+    return ngram_lm_counts(_t(spark, sf_dir, "documents"))
+
+
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/sketches.py): d×w
+    bounded-memory counter table via one partial-agg groupBy, broadcast
+    point-queries, exact-count self-evaluation column — the sketch is
+    rebuilt counter-for-counter by the DuckDB twin (portable seeded
+    md5 row hashes)."""
+    from crawler_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_t(spark, sf_dir, "events"))
+
+
+def _q_hashed_quality(spark, sf_dir):
+    """Hashed-feature linear quality scorer (fastText/CCNet filter
+    shape, operators/qualitylinear.py): hashing-trick bucket ids in
+    whole-stage codegen, the weight table (deterministic stand-in for
+    a learned artifact) broadcast-joined, one per-doc partial agg."""
+    from crawler_spark.operators.qualitylinear import (
+        hashed_quality_scores,
+        quality_weights,
+    )
+
+    return hashed_quality_scores(
+        _t(spark, sf_dir, "documents"), quality_weights(spark)
+    )
+
+
 def _q_recrawl_report(spark, sf_dir):
     """Incremental-crawl change detection: full-outer url-hash diff of
     two deterministic synthetic crawl rounds → per-host change-rate
@@ -1488,6 +1524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_detect": _q_mirror_detect,
         "nofollow_outlinks": _q_nofollow_outlinks,
         "canonical_cluster": _q_canonical_cluster,
+        # round-4 additions (never driver-checked yet — keep inside the
+        # ~50-query window, after the round-3 backlog)
+        "ngram_lm_counts": _q_ngram_lm_counts,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hashed_quality": _q_hashed_quality,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "flagship_classify": _q_flagship,
         "pricing_summary": _q_pricing_summary,
@@ -1546,6 +1587,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "flagship_classify": SG.sql_flagship(),
         "sink_roundtrip": SG.sql_sink_roundtrip(),
+        "ngram_lm_counts": SG.sql_ngram_lm_counts(),
+        "cms_heavy_hitters": SG.sql_cms_heavy_hitters(),
+        "hashed_quality": SG.sql_hashed_quality(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

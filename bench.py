@@ -687,6 +687,7 @@ R3_OPS = [
     # round-4 additions / round-4-guarded paths re-timed each round
     "sink_roundtrip", "minhash_lsh_candidates", "incremental_neardups",
     "dedup_clusters", "span_dedup",
+    "ngram_lm_counts", "cms_heavy_hitters", "hashed_quality",
 ]
 
 

@@ -506,10 +506,23 @@ class FrontierCrawler:
         obs = Observation()
         if self.seen_mode == "bloom":
             new_f = new_f.observe(obs, F.sum("m").alias("bits"))
+        else:
+            # keep the broadcast-vs-cogroup probe gate's byte total fresh
+            # across retraction versions too (same piggyback as the
+            # round-loop write)
+            new_f = new_f.observe(
+                obs, F.sum(F.coalesce(F.size("slots"), F.lit(0))).alias("ints")
+            )
         fv = store.write(self._ftable, new_f, meta=self._bloom_meta(rnd))
         if self.seen_mode == "bloom":
             store.amend_meta(
                 self._ftable, {"total_bits": int(obs.get["bits"] or 0)}, version=fv
+            )
+        else:
+            store.amend_meta(
+                self._ftable,
+                {"total_slot_bytes": int(obs.get["ints"] or 0) * 4},
+                version=fv,
             )
         present.unpersist()
         # a fresh (un-resumed) crawler object tracks 0 — trust the state

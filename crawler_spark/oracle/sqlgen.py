@@ -2374,3 +2374,100 @@ SELECT doc_id,
             THEN 'https://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/s1.xml'
        END AS first_sitemap
 FROM documents"""
+
+
+def sql_ngram_lm_counts() -> str:
+    """Twin of operators/ngramlm.py: 1..3-gram counts, tail pruned at
+    cnt ≥ prune_min for n ≥ 2, backoff context counts via the adjacent
+    order, rf_pm = cnt*1000 div ctx in exact integer per-mille. Same
+    bare space split and (start, width) slice arithmetic as Spark."""
+    from crawler_spark.operators.ngramlm import NGRAM_PRUNE_MIN, RF_SCALE
+
+    p = NGRAM_PRUNE_MIN
+    return f"""
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+c1 AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(ws) AS gram FROM w) GROUP BY gram),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c1),
+o1 AS (SELECT 1 AS n, gram, cnt, (SELECT t FROM tot) AS ctx_cnt FROM c1),
+g2 AS (SELECT array_to_string(ws[i : i + 1], ' ') AS gram, ws[i] AS prefix
+       FROM w, unnest(generate_series(1, len(ws) - 1)) AS s(i)),
+c2 AS (SELECT gram, prefix, CAST(count(*) AS BIGINT) AS cnt
+       FROM g2 GROUP BY gram, prefix HAVING count(*) >= {p}),
+o2 AS (SELECT 2 AS n, c2.gram, c2.cnt, c1.cnt AS ctx_cnt
+       FROM c2 JOIN c1 ON c2.prefix = c1.gram),
+g3 AS (SELECT array_to_string(ws[i : i + 2], ' ') AS gram,
+              array_to_string(ws[i : i + 1], ' ') AS prefix
+       FROM w, unnest(generate_series(1, len(ws) - 2)) AS s(i)),
+c3 AS (SELECT gram, prefix, CAST(count(*) AS BIGINT) AS cnt
+       FROM g3 GROUP BY gram, prefix HAVING count(*) >= {p}),
+o3 AS (SELECT 3 AS n, c3.gram, c3.cnt, c2.cnt AS ctx_cnt
+       FROM c3 JOIN c2 ON c3.prefix = c2.gram),
+u AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3)
+SELECT CAST(n AS INT) AS n, gram, cnt, ctx_cnt,
+       (cnt * {RF_SCALE}) // ctx_cnt AS rf_pm
+FROM u"""
+
+
+def sql_cms_heavy_hitters() -> str:
+    """Twin of operators/sketches.py: the count-min sketch rebuilt
+    counter-for-counter (same seeded md5 row hashes), point-queried
+    with min-over-rows, top-k by (est desc, key asc)."""
+    from crawler_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_SEED_BASE,
+        CMS_WIDTH,
+        HH_TOPK,
+    )
+
+    col = (
+        "CAST(('0x' || substr(md5('s' || CAST({base} + j AS VARCHAR)"
+        " || ':' || key), 1, 15)) AS BIGINT) % {w}"
+    ).format(base=CMS_SEED_BASE, w=CMS_WIDTH)
+    return f"""
+WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+js AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS j),
+pairs AS (SELECT j, {col} AS col FROM k, js),
+sketch AS (SELECT j AS r, col, CAST(count(*) AS BIGINT) AS c
+           FROM pairs GROUP BY j, col),
+dk AS (SELECT DISTINCT key FROM k),
+probe AS (SELECT key, j, {col} AS col FROM dk, js),
+est AS (SELECT key, CAST(min(c) AS BIGINT) AS est
+        FROM probe JOIN sketch ON probe.j = sketch.r
+                              AND probe.col = sketch.col
+        GROUP BY key),
+exact AS (SELECT key, CAST(count(*) AS BIGINT) AS exact
+          FROM k GROUP BY key)
+SELECT key, est, exact, est - exact AS overcount
+FROM est JOIN exact USING (key)
+ORDER BY est DESC, key ASC LIMIT {HH_TOPK}"""
+
+
+def sql_hashed_quality() -> str:
+    """Twin of operators/qualitylinear.py: the deterministic stand-in
+    weight table regenerated from the same hash family, hashing-trick
+    feature map, integer per-mille mean (both engines truncate toward
+    zero on negative div — verified)."""
+    from crawler_spark.operators.qualitylinear import (
+        QL_BUCKETS,
+        QL_WEIGHT_RANGE,
+    )
+
+    return f"""
+WITH wt AS (
+  SELECT b AS bucket,
+         ({sql_h64("'qw:' || CAST(b AS VARCHAR)")} % {QL_WEIGHT_RANGE})
+           - 1000 AS w_ppm
+  FROM (SELECT unnest(generate_series(0, {QL_BUCKETS - 1})) AS b)
+),
+t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+      FROM documents),
+ft AS (SELECT doc_id, source,
+              {sql_h64("'q:' || token")} % {QL_BUCKETS} AS bucket
+       FROM t WHERE token <> ''),
+s AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w_ppm) AS BIGINT) AS sw
+      FROM ft JOIN wt USING (bucket) GROUP BY doc_id, source)
+SELECT doc_id, source, n_tokens, sw // n_tokens AS score_ppm,
+       CASE WHEN sw // n_tokens >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM s"""

@@ -27,6 +27,8 @@ import pytest
 #   ann_recall            inherits cosine_topk's constant-query-set
 #                         broadcast (the exact ground-truth side; at
 #                         scale it runs on a query SAMPLE by design)
+#   ngram_lm_counts       crossJoin(broadcast(1-row corpus token total))
+#                         — the unigram backoff denominator
 ALLOWED_NESTED_LOOP = {
     "cosine_topk",
     "ann_recall",
@@ -35,6 +37,7 @@ ALLOWED_NESTED_LOOP = {
     "quantize_embeddings",
     "mix_plan",
     "mix_execute",
+    "ngram_lm_counts",
 }
 
 
