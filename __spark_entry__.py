@@ -939,6 +939,69 @@ def _q_hashed_quality(spark, sf_dir):
     )
 
 
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (operators/hll.py): per-group
+    register table via one partial agg (≤ m rows per group whatever the
+    input size), exact-int64 harmonic fold, raw estimate + exact
+    distinct as the self-evaluation column — register-for-register
+    reproducible in the DuckDB twin (portable md5 + bin() rank)."""
+    from crawler_spark.operators.hll import hll_distinct_report
+
+    return hll_distinct_report(_t(spark, sf_dir, "events"))
+
+
+def _q_bucketed_join(spark, sf_dir):
+    """Storage-bucketed co-located join (the 100 TB join strategy the
+    README's scale playbook prescribes): customer and orders round-trip
+    through ``bucketBy(8, custkey).sortBy(custkey)`` tables, then a
+    merge-hinted equi-join + per-customer rollup runs with ZERO shuffle
+    exchanges — both the join and the groupBy reuse the on-disk hash
+    layout (tests/test_bucketed_join.py asserts no Exchange in the
+    plan). Values must match the plain DuckDB join on the original
+    parquet, so the bucketed write is also a lossless round-trip."""
+    import os
+    import tempfile
+
+    tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf").replace(
+        ".", "_"
+    )
+    base = os.path.join(tempfile.gettempdir(), "crawler_spark_buckets", tag)
+    specs = {
+        "customer": ("c_custkey", ["c_custkey", "c_name"]),
+        "orders": ("o_custkey", ["o_custkey", "o_totalprice"]),
+    }
+    for t, (key, cols) in specs.items():
+        name = f"cs_bkt_{t}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            _t(spark, sf_dir, t)
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("path", os.path.join(base, t))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    cust = spark.table(f"cs_bkt_customer_{tag}")
+    orders = spark.table(f"cs_bkt_orders_{tag}")
+    return (
+        cust.hint("merge")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "order_cnt",
+            "total_price",
+        )
+    )
+
+
 def _q_recrawl_report(spark, sf_dir):
     """Incremental-crawl change detection: full-outer url-hash diff of
     two deterministic synthetic crawl rounds → per-host change-rate
@@ -1529,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm_counts": _q_ngram_lm_counts,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "hashed_quality": _q_hashed_quality,
+        "hll_distinct": _q_hll_distinct,
+        "bucketed_join": _q_bucketed_join,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "flagship_classify": _q_flagship,
         "pricing_summary": _q_pricing_summary,
@@ -1590,6 +1655,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm_counts": SG.sql_ngram_lm_counts(),
         "cms_heavy_hitters": SG.sql_cms_heavy_hitters(),
         "hashed_quality": SG.sql_hashed_quality(),
+        "hll_distinct": SG.sql_hll_distinct(),
+        "bucketed_join": SG.sql_bucketed_join(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -2471,3 +2471,66 @@ s AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
 SELECT doc_id, source, n_tokens, sw // n_tokens AS score_ppm,
        CASE WHEN sw // n_tokens >= 0 THEN 'keep' ELSE 'drop' END AS label
 FROM s"""
+
+
+def sql_hll_distinct() -> str:
+    """Twin of operators/hll.py: the HyperLogLog register table rebuilt
+    register-for-register (same md5 hash, same bin()-based rank), the
+    scaled harmonic sum and the raw estimate in the identical exact
+    int64 arithmetic; `//` matches Spark's `div` (both truncate toward
+    zero — verified on negatives for err_pm)."""
+    from crawler_spark.operators.hll import (
+        HLL_ALPHA_PM,
+        HLL_M,
+        HLL_RHO_CAP,
+        LC_RAW_MAX,
+        LC_TABLE,
+    )
+
+    m, cap = HLL_M, HLL_RHO_CAP
+    lc = "[" + ", ".join(str(x) for x in LC_TABLE) + "]"
+    return f"""
+WITH k AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS value
+           FROM events),
+h AS (SELECT key,
+             {sql_h64("'hll:' || value")} AS h
+      FROM k),
+r AS (SELECT key, h % {m} AS bucket,
+             LEAST(CASE WHEN h // {m} = 0 THEN 53
+                        ELSE 53 - length(bin(h // {m})) END,
+                   {cap}) AS rho
+      FROM h),
+reg AS (SELECT key, bucket, max(rho) AS rho FROM r GROUP BY key, bucket),
+s AS (SELECT key,
+             CAST(sum(CAST(1 AS BIGINT) << ({cap} - rho)) AS BIGINT) AS sp,
+             CAST(count(*) AS BIGINT) AS present
+      FROM reg GROUP BY key),
+raw AS (SELECT key, {m} - present AS zeros,
+               (CAST({HLL_ALPHA_PM} AS BIGINT) * {m} * {m}
+                * (CAST(1 AS BIGINT) << {cap}))
+               // (1000 * (sp + ({m} - present)
+                                * (CAST(1 AS BIGINT) << {cap}))) AS raw
+        FROM s),
+est AS (SELECT key,
+               CASE WHEN zeros > 0 AND raw <= {LC_RAW_MAX}
+                    THEN CAST(({lc})[zeros] AS BIGINT)
+                    ELSE raw END AS est
+        FROM raw),
+exact AS (SELECT key, CAST(count(DISTINCT value) AS BIGINT) AS exact
+          FROM k GROUP BY key)
+SELECT key, est, exact, ((est - exact) * 1000) // exact AS err_pm
+FROM est JOIN exact USING (key)"""
+
+
+def sql_bucketed_join() -> str:
+    """Twin of __spark_entry__._q_bucketed_join: the plain
+    customer-orders equi-join + per-customer rollup. The Spark side
+    routes both tables through a bucketed (bucketBy + sortBy)
+    round-trip so the join AND the aggregation run with zero shuffle
+    exchanges — the values must be identical to this direct form."""
+    return """
+SELECT c_custkey AS custkey, c_name,
+       CAST(count(*) AS BIGINT) AS order_cnt,
+       round(sum(o_totalprice), 2) AS total_price
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name"""
