@@ -1541,8 +1541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them; the long-green round-1/2 set (3 rounds of driver evidence)
         # follows. Union across rounds = full registry.
         "sink_roundtrip": _q_sink_roundtrip,
-        "cdx_latest_index": _q_cdx_latest_index,
-        "corpus_classify": _q_corpus_classify,
         "robots_rules": _q_robots_rules,
         "span_dedup": _q_span_dedup,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -1595,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "bucketed_join": _q_bucketed_join,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
+        "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
+        "corpus_classify": _q_corpus_classify,  # driver-green r2
         "flagship_classify": _q_flagship,
         "pricing_summary": _q_pricing_summary,
         "time_range_rollup": _q_time_range,
