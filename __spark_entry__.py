@@ -1002,6 +1002,17 @@ def _q_bucketed_join(spark, sf_dir):
     )
 
 
+def _q_inverted_index(spark, sf_dir):
+    """Inverted-index build (operators/invindex.py): token stream →
+    unique (term, doc) partial agg → exact df/cnt, posting-list head
+    via a salted two-phase min-K so a stopword's ~corpus-sized doc set
+    never funnels through one task — output byte-identical to the
+    direct min-K the DuckDB twin runs."""
+    from crawler_spark.operators.invindex import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"))
+
+
 def _q_recrawl_report(spark, sf_dir):
     """Incremental-crawl change detection: full-outer url-hash diff of
     two deterministic synthetic crawl rounds → per-host change-rate
@@ -1592,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_quality": _q_hashed_quality,
         "hll_distinct": _q_hll_distinct,
         "bucketed_join": _q_bucketed_join,
+        "inverted_index": _q_inverted_index,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1657,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_quality": SG.sql_hashed_quality(),
         "hll_distinct": SG.sql_hll_distinct(),
         "bucketed_join": SG.sql_bucketed_join(),
+        "inverted_index": SG.sql_inverted_index(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -688,7 +688,7 @@ R3_OPS = [
     "sink_roundtrip", "minhash_lsh_candidates", "incremental_neardups",
     "dedup_clusters", "span_dedup",
     "ngram_lm_counts", "cms_heavy_hitters", "hashed_quality",
-    "hll_distinct", "bucketed_join",
+    "hll_distinct", "bucketed_join", "inverted_index",
 ]
 
 

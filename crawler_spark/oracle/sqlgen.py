@@ -2534,3 +2534,27 @@ SELECT c_custkey AS custkey, c_name,
        round(sum(o_totalprice), 2) AS total_price
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name"""
+
+
+def sql_inverted_index() -> str:
+    """Twin of operators/invindex.py: direct per-term min-K (no salting
+    needed at oracle scale — the salted two-phase is output-identical
+    by construction, which is exactly what this twin verifies)."""
+    from crawler_spark.operators.invindex import INV_HEAD_K, INV_MIN_DF
+
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM t WHERE term <> '' GROUP BY term, doc_id),
+stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(sum(tf) AS BIGINT) AS cnt
+          FROM td GROUP BY term),
+r AS (SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM td),
+head AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings_head
+         FROM r WHERE rn <= {INV_HEAD_K} GROUP BY term)
+SELECT term, df, cnt, postings_head
+FROM stats JOIN head USING (term)
+WHERE df >= {INV_MIN_DF}"""
