@@ -1013,6 +1013,41 @@ def _q_inverted_index(spark, sf_dir):
     return inverted_index(_t(spark, sf_dir, "documents"))
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/retrieval.py): exact-integer
+    Okapi scoring over the tokenized corpus for a constant query bag —
+    two partial aggs + broadcast df/totals, TakeOrdered top-k."""
+    from crawler_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+def _q_priority_sample(spark, sf_dir):
+    """Priority sampling (operators/sampling.priority_sample, Duffield
+    et al. 2007): weighted k-sample with the unbiased max(w, τ)
+    subset-sum estimator — portable seeded-md5 uniforms, exact int64
+    per-mille priorities, per-partition heap top-(k+1)."""
+    from crawler_spark.operators.sampling import priority_sample
+
+    return priority_sample(_t(spark, sf_dir, "documents"))
+
+
+def _q_fair_budget(spark, sf_dir):
+    """Max-min fair crawl-budget allocation (operators/fairshare.py):
+    integer water-filling over per-host pending demand ('host' =
+    doc_id % 97 buckets), lexicographic remainder +1s — distinct-level
+    cumsum, two driver scalars, broadcast bonus semi-join."""
+    from crawler_spark.operators.fairshare import fair_budget
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    return fair_budget(hosts)
+
+
 def _q_recrawl_report(spark, sf_dir):
     """Incremental-crawl change detection: full-outer url-hash diff of
     two deterministic synthetic crawl rounds → per-host change-rate
@@ -1604,6 +1639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "bucketed_join": _q_bucketed_join,
         "inverted_index": _q_inverted_index,
+        "bm25_topk": _q_bm25_topk,
+        "priority_sample": _q_priority_sample,
+        "fair_budget": _q_fair_budget,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1670,6 +1708,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": SG.sql_hll_distinct(),
         "bucketed_join": SG.sql_bucketed_join(),
         "inverted_index": SG.sql_inverted_index(),
+        "bm25_topk": SG.sql_bm25_topk(),
+        "priority_sample": SG.sql_priority_sample(),
+        "fair_budget": SG.sql_fair_budget(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

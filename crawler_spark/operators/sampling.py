@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.texthash import h64
+from crawler_spark.functions.texthash import (
+    h64,
+    hex_prefix_value,
+    seeded_md5_key,
+)
 
 DEFAULT_RATE_PM = 1000
 # Driver-query rebalance: downsample the over-represented 'en' stratum.
@@ -58,6 +62,75 @@ def stratified_sample(
     return df.where(
         sample_bucket(F.col(id_col), salt)
         < stratum_rate_pm(F.col(strata_col), rates, default_pm)
+    )
+
+
+# --------------------------------------------------- priority sampling --
+#
+# Weighted without-replacement sampling with an unbiased subset-sum
+# estimator — Duffield, Lund & Thorup, "Priority sampling" (JACM 2007).
+# The quality-weighted selection shape: keep k documents where heavy
+# (high-quality / long) docs are proportionally likelier, yet any
+# weight-sum over the sample can still be estimated without bias via
+# est_i = max(w_i, τ) (τ = the (k+1)-th priority).
+#
+# Portability: the classic scheme draws u ~ U(0,1] and ranks by w/u.
+# RNG and float division are replaced the repo-standard way — u comes
+# from the portable seeded-md5 family (uniform integer in [1, 16^6]),
+# and the priority is kept in exact int64 per-mille:
+#
+#     priority_pm = (w · 16^6 · 1000) div u      ≈ 1000 · w/u'
+#
+# (div ≡ DuckDB // on non-negative operands). No float ever crosses an
+# engine boundary; ties are broken by id, so the sample is a total
+# order. int64 headroom: w · 1.6777e10 < 2^63 for w < 5.5e8 — any
+# larger weight unit should drop the ×1000.
+#
+# Scale shape: one map pass computes priorities, then
+# orderBy(...).limit(k+1) is Spark's TakeOrderedAndProject — a
+# per-partition k+1 heap + driver merge, never a global sort. τ is a
+# 1-row broadcast. This is exactly the distributed form the paper
+# recommends (priorities are independent per row).
+
+PRIORITY_SAMPLE_K = 10
+PRIORITY_SEED = "ps1"
+_PRI_SCALE = 16**6 * 1000  # 16777216000
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int = PRIORITY_SAMPLE_K,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = PRIORITY_SEED,
+) -> DataFrame:
+    """(id, weight, priority_pm, est_w_pm): a k-row priority sample.
+    est_w_pm = max(w, τ)·1000-scaled — summing it over any subset of
+    the sample unbiasedly estimates that subset's true weight sum.
+    If the population has ≤ k rows, all rows return with exact
+    est_w_pm = w·1000 (τ = 0), per the paper's degenerate case."""
+    u = hex_prefix_value(seeded_md5_key(seed, F.col(id_col)), 6) + 1
+    pri = (
+        df.select(F.col(id_col), F.col(weight_col).alias("weight"))
+        .withColumn("_u", u)
+        .withColumn("priority_pm", F.expr(f"weight * {_PRI_SCALE} div _u"))
+        .drop("_u")
+    )
+    topk1 = pri.orderBy(F.desc("priority_pm"), F.asc(id_col)).limit(k + 1)
+    tau = topk1.agg(
+        F.when(F.count(F.lit(1)) > k, F.min("priority_pm"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tau_pm")
+    )
+    return (
+        topk1.orderBy(F.desc("priority_pm"), F.asc(id_col))
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .withColumn(
+            "est_w_pm", F.greatest(F.col("weight") * 1000, F.col("tau_pm"))
+        )
+        .select(id_col, "weight", "priority_pm", "est_w_pm")
     )
 
 

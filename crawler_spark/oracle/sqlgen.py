@@ -2558,3 +2558,107 @@ head AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings_head
 SELECT term, df, cnt, postings_head
 FROM stats JOIN head USING (term)
 WHERE df >= {INV_MIN_DF}"""
+
+
+def sql_bm25_topk() -> str:
+    """Twin of operators/retrieval.bm25_topk: the same exact-integer
+    BM25 (k1=6/5, b=3/4 as rationals, ‰ scaling, log-free idf
+    surrogate) — `div` on the Spark side ≡ `//` here, all operands
+    non-negative."""
+    from crawler_spark.operators.retrieval import BM25_QUERY, BM25_TOP_K
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents),
+tk AS (SELECT doc_id, term FROM t WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM tk GROUP BY doc_id),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tk WHERE term IN ({terms}) GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              (1000 * (n_docs - df + 1)) // (df + 1) AS idf_pm,
+              (22000000 * tf)
+                // (10000 * tf + 3000 + 9 * ((dl.dl * 1000 * n_docs) // sumdl))
+                AS tf_part_pm
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS terms_matched,
+       CAST(sum(idf_pm * tf_part_pm) AS BIGINT) AS score_pm
+FROM sc GROUP BY doc_id
+ORDER BY score_pm DESC, doc_id ASC
+LIMIT {BM25_TOP_K}"""
+
+
+def sql_priority_sample() -> str:
+    """Twin of operators/sampling.priority_sample (Duffield–Lund–Thorup):
+    u from the shared seeded-md5 hex prefix, priority and the max(w, τ)
+    estimator in exact int64 per-mille."""
+    from crawler_spark.functions.texthash import HEX_DIGITS as PHEX
+    from crawler_spark.operators.sampling import (
+        PRIORITY_SAMPLE_K,
+        PRIORITY_SEED,
+        _PRI_SCALE,
+    )
+
+    h = f"md5('{PRIORITY_SEED}:' || CAST(doc_id AS VARCHAR))"
+    v = "0"
+    for i in range(6):
+        v = f"({v}) * 16 + (instr('{PHEX}', substr({h}, {i + 1}, 1)) - 1)"
+    k = PRIORITY_SAMPLE_K
+    return f"""
+WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                  CAST({v} AS BIGINT) + 1 AS u
+           FROM documents),
+p AS (SELECT doc_id, weight,
+             CAST((weight * {_PRI_SCALE}) // u AS BIGINT) AS priority_pm
+      FROM w),
+topk1 AS (SELECT * FROM p
+          ORDER BY priority_pm DESC, doc_id ASC LIMIT {k + 1}),
+tau AS (SELECT CAST(CASE WHEN count(*) > {k} THEN min(priority_pm)
+                    ELSE 0 END AS BIGINT) AS tau_pm FROM topk1),
+s AS (SELECT * FROM topk1 ORDER BY priority_pm DESC, doc_id ASC LIMIT {k})
+SELECT s.doc_id, s.weight, s.priority_pm,
+       CAST(greatest(s.weight * 1000, tau.tau_pm) AS BIGINT) AS est_w_pm
+FROM s, tau"""
+
+
+def sql_fair_budget() -> str:
+    """Twin of operators/fairshare.fair_budget: water-filling over
+    distinct demand levels, integer θ/remainder, lexicographic +1s.
+    The Spark side collects θ and r as driver scalars; this twin
+    derives them in-query — same values by construction."""
+    from crawler_spark.operators.fairshare import FAIR_BUDGET as B
+
+    return f"""
+WITH h AS (SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) AS host,
+                  CAST(count(*) AS BIGINT) AS demand
+           FROM documents GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM h),
+lv AS (SELECT demand AS v, CAST(count(*) AS BIGINT) AS cnt
+       FROM h GROUP BY demand),
+cum AS (SELECT v,
+               CAST(sum(v * cnt) OVER (ORDER BY v) AS BIGINT) AS below,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cumcnt
+        FROM lv),
+s AS (SELECT v, below + v * (n - cumcnt) AS sv, n - cumcnt AS above_cnt
+      FROM cum, tot),
+best AS (SELECT v, sv, above_cnt FROM s WHERE sv <= {B}
+         ORDER BY v DESC LIMIT 1),
+base AS (SELECT coalesce(max(v), 0) AS v0, coalesce(max(sv), 0) AS s0,
+                coalesce(max(above_cnt), (SELECT max(n) FROM tot)) AS ac
+         FROM best),
+th AS (SELECT CASE WHEN ac > 0 THEN v0 + ({B} - s0) // ac
+              ELSE v0 END AS theta,
+              CASE WHEN ac > 0 THEN ({B} - s0) % ac ELSE 0 END AS r
+       FROM base),
+bon AS (SELECT host, row_number() OVER (ORDER BY host) AS rn
+        FROM h, th WHERE demand > theta)
+SELECT h.host, h.demand,
+       CAST(least(h.demand, th.theta)
+            + CASE WHEN bon.rn IS NOT NULL AND bon.rn <= th.r
+                   THEN 1 ELSE 0 END AS BIGINT) AS granted,
+       CAST(th.theta AS BIGINT) AS water_level
+FROM h CROSS JOIN th LEFT JOIN bon USING (host)"""

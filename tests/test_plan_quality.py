@@ -29,6 +29,9 @@ import pytest
 #                         scale it runs on a query SAMPLE by design)
 #   ngram_lm_counts       crossJoin(broadcast(1-row corpus token total))
 #                         — the unigram backoff denominator
+#   bm25_topk             crossJoin(broadcast(1-row sumdl/n_docs totals))
+#   priority_sample       crossJoin(broadcast(1-row τ threshold))
+#   fair_budget           crossJoin(broadcast(1-row host/demand totals))
 ALLOWED_NESTED_LOOP = {
     "cosine_topk",
     "ann_recall",
@@ -38,6 +41,9 @@ ALLOWED_NESTED_LOOP = {
     "mix_plan",
     "mix_execute",
     "ngram_lm_counts",
+    "bm25_topk",
+    "priority_sample",
+    "fair_budget",
 }
 
 
