@@ -1048,6 +1048,27 @@ def _q_fair_budget(spark, sf_dir):
     return fair_budget(hosts)
 
 
+def _q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities (operators/linkgraph.hits, Kleinberg
+    1999): integer L1-normalized mutual reinforcement over the
+    arithmetic link graph — authorities say what to KEEP, hubs what to
+    EXPAND; bit-identical to the unrolled-CTE oracle."""
+    from crawler_spark.operators.linkgraph import hits_over_documents
+
+    return hits_over_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q_hll_union_rollup(spark, sf_dir):
+    """HLL sketch-union rollup (operators/hll.hll_union_report):
+    per-group register tables merge into the global sketch via one
+    max(rho) per bucket — the no-rescan rollup property that makes the
+    sketch the 100 TB answer; exact global + naive per-group sum ride
+    along as self-evaluation."""
+    from crawler_spark.operators.hll import hll_union_report
+
+    return hll_union_report(_t(spark, sf_dir, "events"))
+
+
 def _q_recrawl_report(spark, sf_dir):
     """Incremental-crawl change detection: full-outer url-hash diff of
     two deterministic synthetic crawl rounds → per-host change-rate
@@ -1642,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "priority_sample": _q_priority_sample,
         "fair_budget": _q_fair_budget,
+        "hits_scores": _q_hits_scores,
+        "hll_union_rollup": _q_hll_union_rollup,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1711,6 +1734,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": SG.sql_bm25_topk(),
         "priority_sample": SG.sql_priority_sample(),
         "fair_budget": SG.sql_fair_budget(),
+        "hits_scores": SG.sql_hits_scores(),
+        "hll_union_rollup": SG.sql_hll_union_rollup(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -148,3 +148,45 @@ def hll_distinct_report(
         .withColumn("err_pm", F.expr("((est - exact) * 1000) div exact"))
         .select("key", "est", "exact", "err_pm")
     )
+
+
+def hll_union_report(events: DataFrame, m: int = HLL_M) -> DataFrame:
+    """One row (scope, merged_est, exact_global, naive_group_sum,
+    err_pm): the MERGEABILITY demonstration — per-group register tables
+    union into the global sketch by one more max(rho) per bucket, and
+    the merged estimate is compared against (a) the exact global
+    distinct and (b) the naive sum of per-group exact distincts (the
+    overcount a non-mergeable per-group counter would produce). This is
+    the property that matters at 100 TB: shard/day/source sketches
+    (≤ m ints each) roll up with NO re-scan of the raw stream — the
+    exact columns are self-evaluation only."""
+    keyed = events.select(
+        F.col("event_type").alias("key"),
+        F.col("user_id").cast("string").alias("value"),
+    )
+    per_group = hll_registers(keyed, "key", "value", m)
+    merged = (
+        per_group.groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn("grp", F.lit("all"))
+    )
+    est = hll_estimate(merged, m)  # 1 row
+    exact = keyed.agg(F.countDistinct("value").alias("exact_global"))
+    naive = (
+        keyed.groupBy("key")
+        .agg(F.countDistinct("value").alias("_d"))
+        .agg(F.sum("_d").alias("naive_group_sum"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(naive))
+        .select(
+            F.col("grp").alias("scope"),
+            F.col("est").alias("merged_est"),
+            F.col("exact_global").cast("long").alias("exact_global"),
+            F.col("naive_group_sum").cast("long").alias("naive_group_sum"),
+            F.expr(
+                "((est - exact_global) * 1000) div exact_global"
+            ).alias("err_pm"),
+        )
+    )

@@ -191,3 +191,111 @@ def host_link_summary(
         agg.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= k)
     )
+
+
+# ----------------------------------------------------------------- HITS --
+#
+# Kleinberg, "Authoritative sources in a hyperlinked environment"
+# (JACM 1999) — the hubs-and-authorities complement to PageRank: a page
+# is a good AUTHORITY if good hubs link to it, a good HUB if it links
+# to good authorities. For a crawl frontier the two scores answer
+# different questions than PageRank does: authorities are what to KEEP
+# (content worth fetching deeply), hubs are what to EXPAND (their
+# outlinks are high-yield frontier candidates).
+#
+# Determinism contract (same discipline as pagerank above): scores are
+# integer parts-per-billion, L1-normalized each half-step —
+#
+#     a_raw(v) = Σ_{u→v} h(u)                 (exact int64 sum)
+#     a(v)     = (a_raw(v)·1000) div (max(total_a div 10^6, 1))
+#
+# i.e. ·10^9/total with the product split 10^3·10^6 so no intermediate
+# exceeds ~maxdeg·10^12 — int64-safe to ~9·10^5-fold skew; the
+# denominator quantization (≤ 10^-6 relative, deterministic) is the
+# documented price of keeping every value integer. (Kleinberg uses L2;
+# L1 keeps the fixpoint integer-expressible — a documented deviation,
+# shared bit-for-bit by the oracle.)
+#
+# Scale shape: per half-iteration ONE shuffle (join on src or dst +
+# partial-agg groupBy); totals are 1-row broadcast crosses (plan-
+# quality allowlist); lineage truncated per iteration exactly like
+# pagerank's loop.
+
+HITS_ITERATIONS = 4
+HITS_SCALE = 1_000_000_000
+
+
+def _l1_ppb(nodes: DataFrame, raw: DataFrame, out_col: str) -> DataFrame:
+    """(node, out_col): raw 'node'/'s' sums → L1-normalized integer ppb
+    over ALL nodes (absent nodes get 0)."""
+    total = raw.agg(F.sum("s").alias("_tot"))
+    return (
+        nodes.join(raw, "node", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "node",
+            F.expr(
+                # coalesce BOTH operands: Spark's greatest skips NULLs
+                # but DuckDB's propagates them — never let one in
+                "coalesce(s, 0L) * 1000"
+                " div greatest(coalesce(_tot, 0L) div 1000000, 1L)"
+            ).alias(out_col),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = HITS_ITERATIONS,
+) -> DataFrame:
+    """(doc_id, auth_ppb, hub_ppb) after ``iterations`` exact integer
+    mutual-reinforcement steps from a uniform hub start. ``nodes``
+    must carry a ``node`` column covering every vertex."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    nodes_l = nodes.select(
+        F.col("node").cast("long").alias("node")
+    ).localCheckpoint()
+    h = nodes_l.withColumn("hub_ppb", F.lit(HITS_SCALE).cast("long"))
+    a = nodes_l.withColumn("auth_ppb", F.lit(0).cast("long"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(
+                h.select(F.col("node").alias("src"), "hub_ppb"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub_ppb").alias("s"))
+        )
+        # only h is checkpointed: a's lineage is one join off the
+        # previous h checkpoint, so depth stays O(1) per iteration
+        # while the loop runs half as many eager materializations
+        a = _l1_ppb(nodes_l, a_raw, "auth_ppb")
+        h_raw = (
+            e.join(
+                a.select(F.col("node").alias("dst"), "auth_ppb"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth_ppb").alias("s"))
+        )
+        h = _l1_ppb(nodes_l, h_raw, "hub_ppb").localCheckpoint()
+    return (
+        a.join(h, "node")
+        .select(F.col("node").alias("doc_id"), "auth_ppb", "hub_ppb")
+    )
+
+
+def hits_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: the arithmetic link graph over documents, scored
+    by HITS. Reuses synth_link_graph (one bounded node-count scalar)."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("auth_ppb"),
+            F.lit(0).cast("long").alias("hub_ppb"),
+        )
+    return hits(synth_link_graph(docs, n), nodes)

@@ -2662,3 +2662,92 @@ SELECT h.host, h.demand,
                    THEN 1 ELSE 0 END AS BIGINT) AS granted,
        CAST(th.theta AS BIGINT) AS water_level
 FROM h CROSS JOIN th LEFT JOIN bon USING (host)"""
+
+
+def sql_hits_scores() -> str:
+    """Integer fixed-point HITS, half-steps unrolled as chained CTEs
+    (twin of operators/linkgraph.hits). Every value BIGINT, every
+    normalization the identical 10^3/10^6 split division; `//` matches
+    `div` on the all-non-negative operands."""
+    from crawler_spark.operators.linkgraph import (
+        HITS_ITERATIONS,
+        HITS_SCALE,
+    )
+
+    def norm(raw: str, tot: str, out: str) -> str:
+        return (
+            f"coalesce({raw}.s, 0) * 1000 // "
+            f"greatest(coalesce({tot}.tot, 0) // 1000000, 1) AS {out}"
+        )
+
+    iters = []
+    for i in range(1, HITS_ITERATIONS + 1):
+        iters.append(f"""
+ar{i} AS (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s
+          FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst),
+at{i} AS (SELECT CAST(sum(s) AS BIGINT) AS tot FROM ar{i}),
+a{i} AS (SELECT nd.node, {norm("ar", f"at{i}", "auth")}
+         FROM nd LEFT JOIN ar{i} ar USING (node), at{i}),
+hr{i} AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS s
+          FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+ht{i} AS (SELECT CAST(sum(s) AS BIGINT) AS tot FROM hr{i}),
+h{i} AS (SELECT nd.node, {norm("hr", f"ht{i}", "hub")}
+         FROM nd LEFT JOIN hr{i} hr USING (node), ht{i})""")
+    return f"""
+WITH {_link_edges_ctes()},
+h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS hub FROM nd),{",".join(iters)}
+SELECT a.node AS doc_id, CAST(a.auth AS BIGINT) AS auth_ppb,
+       CAST(h.hub AS BIGINT) AS hub_ppb
+FROM a{HITS_ITERATIONS} a JOIN h{HITS_ITERATIONS} h USING (node)"""
+
+
+def sql_hll_union_rollup() -> str:
+    """Twin of operators/hll.hll_union_report: per-group registers,
+    merged by max(rho) per bucket, folded with the identical exact
+    int64 arithmetic as sql_hll_distinct."""
+    from crawler_spark.operators.hll import (
+        HLL_ALPHA_PM,
+        HLL_M,
+        HLL_RHO_CAP,
+        LC_RAW_MAX,
+        LC_TABLE,
+    )
+
+    m, cap = HLL_M, HLL_RHO_CAP
+    lc = "[" + ", ".join(str(x) for x in LC_TABLE) + "]"
+    return f"""
+WITH k AS (SELECT event_type AS key, CAST(user_id AS VARCHAR) AS value
+           FROM events),
+h AS (SELECT key,
+             {sql_h64("'hll:' || value")} AS h
+      FROM k),
+r AS (SELECT key, h % {m} AS bucket,
+             LEAST(CASE WHEN h // {m} = 0 THEN 53
+                        ELSE 53 - length(bin(h // {m})) END,
+                   {cap}) AS rho
+      FROM h),
+reg AS (SELECT key, bucket, max(rho) AS rho FROM r GROUP BY key, bucket),
+mrg AS (SELECT bucket, max(rho) AS rho FROM reg GROUP BY bucket),
+s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({cap} - rho)) AS BIGINT) AS sp,
+             CAST(count(*) AS BIGINT) AS present
+      FROM mrg),
+raw AS (SELECT {m} - present AS zeros,
+               (CAST({HLL_ALPHA_PM} AS BIGINT) * {m} * {m}
+                * (CAST(1 AS BIGINT) << {cap}))
+               // (1000 * (sp + ({m} - present)
+                                * (CAST(1 AS BIGINT) << {cap}))) AS raw
+        FROM s),
+est AS (SELECT CASE WHEN zeros > 0 AND raw <= {LC_RAW_MAX}
+                    THEN CAST(({lc})[zeros] AS BIGINT)
+                    ELSE raw END AS est
+        FROM raw),
+exact AS (SELECT CAST(count(DISTINCT value) AS BIGINT) AS exact_global
+          FROM k),
+naive AS (SELECT CAST(sum(d) AS BIGINT) AS naive_group_sum
+          FROM (SELECT CAST(count(DISTINCT value) AS BIGINT) AS d
+                FROM k GROUP BY key))
+SELECT 'all' AS scope, est.est AS merged_est, exact.exact_global,
+       naive.naive_group_sum,
+       ((est.est - exact.exact_global) * 1000) // exact.exact_global
+         AS err_pm
+FROM est, exact, naive"""

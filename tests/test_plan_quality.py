@@ -44,6 +44,10 @@ ALLOWED_NESTED_LOOP = {
     "bm25_topk",
     "priority_sample",
     "fair_budget",
+    # hits_scores: 2 × iterations 1-row L1-total broadcast crosses
+    "hits_scores",
+    # hll_union_rollup: 1-row exact/naive self-eval crosses
+    "hll_union_rollup",
 }
 
 
