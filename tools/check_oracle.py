@@ -60,9 +60,11 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failed = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -99,7 +101,7 @@ def main() -> int:
             continue
         print(f"ok    {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} ok")
+    print(f"\n{checked - len(failed)}/{checked} ok")
     spark.stop()
     return 1 if failed else 0
 
