@@ -1048,6 +1048,29 @@ def _q_fair_budget(spark, sf_dir):
     return fair_budget(hosts)
 
 
+def _q_split_assign(spark, sf_dir):
+    """Leak-free train/val/test split (operators/sampling.grouped_split
+    + split_report): every host lands wholly in one split (the
+    group-aware assignment that keeps templated near-dups from
+    straddling train/eval), audited per split."""
+    from crawler_spark.operators.sampling import split_report
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "host",
+        F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string")),
+    )
+    return split_report(d, "host")
+
+
+def _q_pad_plan(spark, sf_dir):
+    """Padding-bucket plan (operators/packing.pad_plan): per
+    power-of-two length bucket, the exact ‰ compute a pad-to-bucket-max
+    loader wastes on this corpus — one map + one partial agg."""
+    from crawler_spark.operators.packing import pad_plan
+
+    return pad_plan(_t(spark, sf_dir, "documents"))
+
+
 def _q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities (operators/linkgraph.hits, Kleinberg
     1999): integer L1-normalized mutual reinforcement over the
@@ -1665,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fair_budget": _q_fair_budget,
         "hits_scores": _q_hits_scores,
         "hll_union_rollup": _q_hll_union_rollup,
+        "split_assign": _q_split_assign,
+        "pad_plan": _q_pad_plan,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1736,6 +1761,8 @@ def oracle_sql() -> dict[str, str]:
         "fair_budget": SG.sql_fair_budget(),
         "hits_scores": SG.sql_hits_scores(),
         "hll_union_rollup": SG.sql_hll_union_rollup(),
+        "split_assign": SG.sql_split_assign(),
+        "pad_plan": SG.sql_pad_plan(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -689,6 +689,9 @@ R3_OPS = [
     "dedup_clusters", "span_dedup",
     "ngram_lm_counts", "cms_heavy_hitters", "hashed_quality",
     "hll_distinct", "bucketed_join", "inverted_index",
+    # late round-4 additions
+    "bm25_topk", "priority_sample", "fair_budget",
+    "hits_scores", "hll_union_rollup", "split_assign", "pad_plan",
 ]
 
 

@@ -75,3 +75,65 @@ def shard_stats(layout: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         F.sum(F.col("straddles").cast("long")).alias("n_straddling"),
         (F.max(F.col("start_offset") + F.col("n_tokens")) % budget).alias("tail_tokens"),
     )
+
+
+# -------------------------------------------------- padding-bucket plan --
+#
+# The OTHER batching layout: inference / finetune loaders that cannot
+# split documents pad every sequence in a batch to the batch max, so
+# the loader buckets by length first (fairseq/HF group_by_length; the
+# public "bucketing" trick from the NMT literature — Khomenko et al.
+# 2016, Morishita et al. 2017). This planner reports, per
+# power-of-two length bucket, how much compute padding would burn —
+# the measured answer to "is concat-and-chunk (above) worth it for
+# this corpus slice?".
+#
+# Integer/portable: bucket = 2^ceil(log2 n) via length(bin(n-1)) (the
+# same bin() rank trick as operators/hll.py), floored at PAD_MIN_BUCKET
+# and capped at PAD_MAX_BUCKET (longer docs count truncated, the
+# loader's behavior). One map + one partial agg; waste in exact ‰.
+
+PAD_MIN_BUCKET = 16
+PAD_MAX_BUCKET = 4096
+
+
+def pad_plan(docs: DataFrame) -> DataFrame:
+    """(bucket_len, n_docs, actual_tokens, padded_tokens, waste_pm):
+    per power-of-two length bucket, the padding overhead a
+    pad-to-bucket-max loader pays on this corpus."""
+    n = bpe_token_count(F.col("text"))
+    used = F.least(n, F.lit(PAD_MAX_BUCKET))
+    p2 = F.expr(
+        # 2^ceil(log2 u) = 1 << bitlen(u-1); the inner greatest keeps
+        # bin()'s argument ≥ 1 even for empty docs (the u ≤ 1 CASE arm
+        # wins then, but BOTH engines still evaluate this arm
+        # vectorized — never hand bin() a negative)
+        "shiftleft(CAST(1 AS BIGINT), length(bin(greatest(_used - 1, 1))))"
+    )
+    bucket = F.greatest(
+        F.lit(PAD_MIN_BUCKET).cast("long"),
+        F.when(F.col("_used") <= 1, F.lit(1).cast("long")).otherwise(p2),
+    )
+    return (
+        docs.select(used.alias("_used"))
+        .select("_used", bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_used").alias("actual_tokens"),
+        )
+        .withColumn(
+            "padded_tokens",
+            (F.col("n_docs") * F.col("bucket_len")).cast("long"),
+        )
+        .withColumn(
+            "waste_pm",
+            F.expr(
+                "(padded_tokens - actual_tokens) * 1000 div padded_tokens"
+            ),
+        )
+        .select(
+            "bucket_len", "n_docs", "actual_tokens",
+            "padded_tokens", "waste_pm",
+        )
+    )

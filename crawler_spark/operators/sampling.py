@@ -167,3 +167,69 @@ def sample_report(
             F.floor(F.col("n_sampled") * 1000 / F.col("n_total")).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------- leak-free splits --
+#
+# Train/val/test assignment for a web corpus must be GROUP-aware: near
+# duplicates concentrate within a host (templated pages, mirrored
+# paths), so hashing doc_ids independently leaks train content into
+# eval — the standard fix is to split by group key (host / registrable
+# domain) so every group lands wholly in one split (the same reasoning
+# as decontamination, operators/decontam.py, but structural). Split
+# membership is the repo-standard deterministic hash of (group, salt):
+# reproducible, append-stable, cluster-size-invariant.
+
+SPLIT_RATES_PM = (("train", 900), ("val", 50), ("test", 50))
+SPLIT_SALT = "split1"
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    rates_pm=SPLIT_RATES_PM,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """df + ``split`` column: every distinct ``group_col`` value maps
+    wholly into one split (cumulative per-mille bands over the group's
+    hash bucket) — no row-level leakage across splits by construction."""
+    bucket = sample_bucket(F.col(group_col), salt)
+    out: Column = F.lit(rates_pm[-1][0])
+    hi = 0
+    conds = []
+    for name, pm in rates_pm[:-1]:
+        hi += pm
+        conds.append((name, hi))
+    for name, edge in reversed(conds):
+        out = F.when(bucket < edge, F.lit(name)).otherwise(out)
+    return df.withColumn("split", out)
+
+
+def split_report(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    rates_pm=SPLIT_RATES_PM,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """(split, n_groups, n_docs, sum_chars, achieved_pm): the audit
+    rollup — group counts prove the assignment is group-granular, and
+    achieved_pm is measured against DOCS (what training actually sees),
+    not groups. One partial-agg groupBy; the leak-free property needs
+    no runtime check because it holds by construction."""
+    s = grouped_split(df, group_col, rates_pm, salt)
+    tot = s.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        s.groupBy("split")
+        .agg(
+            F.countDistinct(group_col).alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "achieved_pm",
+            F.expr("n_docs * 1000 div n_total").cast("long"),
+        )
+        .select("split", "n_groups", "n_docs", "sum_chars", "achieved_pm")
+    )

@@ -2751,3 +2751,60 @@ SELECT 'all' AS scope, est.est AS merged_est, exact.exact_global,
        ((est.est - exact.exact_global) * 1000) // exact.exact_global
          AS err_pm
 FROM est, exact, naive"""
+
+
+def sql_split_assign() -> str:
+    """Twin of operators/sampling.split_report over grouped_split:
+    the same md5 group bucket, cumulative per-mille split bands, and
+    doc-measured achieved rate."""
+    from crawler_spark.operators.sampling import (
+        SPLIT_RATES_PM,
+        SPLIT_SALT,
+    )
+
+    (t_name, t_pm), (v_name, v_pm), (x_name, _) = SPLIT_RATES_PM
+    b = f"{sql_h64(f'''host || '|{SPLIT_SALT}' ''')} % 1000"
+    return f"""
+WITH d AS (SELECT doc_id, n_chars,
+                  'h' || CAST(doc_id % 97 AS VARCHAR) AS host
+           FROM documents),
+s AS (SELECT host, n_chars, {b} AS b FROM d),
+a AS (SELECT CASE WHEN b < {t_pm} THEN '{t_name}'
+                  WHEN b < {t_pm + v_pm} THEN '{v_name}'
+                  ELSE '{x_name}' END AS split,
+             host, n_chars
+      FROM s),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a)
+SELECT split, CAST(count(DISTINCT host) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       (CAST(count(*) AS BIGINT) * 1000) // (SELECT n_total FROM tot)
+         AS achieved_pm
+FROM a GROUP BY split"""
+
+
+def sql_pad_plan() -> str:
+    """Twin of operators/packing.pad_plan: same BPE-ish token count,
+    same bin()-based power-of-two bucket, exact ‰ waste."""
+    from crawler_spark.operators.packing import (
+        PAD_MAX_BUCKET,
+        PAD_MIN_BUCKET,
+    )
+
+    return f"""
+WITH d AS (SELECT least(CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}'))
+                             AS BIGINT), {PAD_MAX_BUCKET}) AS u
+           FROM documents),
+b AS (SELECT u,
+             greatest(CAST({PAD_MIN_BUCKET} AS BIGINT),
+                      CASE WHEN u <= 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(1 AS BIGINT)
+                                << length(bin(greatest(u - 1, 1)))
+                      END) AS bucket_len
+      FROM d)
+SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(u) AS BIGINT) AS actual_tokens,
+       CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+       CAST(((count(*) * bucket_len - sum(u)) * 1000)
+            // (count(*) * bucket_len) AS BIGINT) AS waste_pm
+FROM b GROUP BY bucket_len"""

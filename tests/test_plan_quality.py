@@ -48,6 +48,8 @@ ALLOWED_NESTED_LOOP = {
     "hits_scores",
     # hll_union_rollup: 1-row exact/naive self-eval crosses
     "hll_union_rollup",
+    # split_assign: 1-row doc-total cross for achieved_pm
+    "split_assign",
 }
 
 
