@@ -1071,6 +1071,16 @@ def _q_pad_plan(spark, sf_dir):
     return pad_plan(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_pair_counts(spark, sf_dir):
+    """BPE first-merge statistics (operators/termstats.bpe_pair_counts,
+    Sennrich et al. 2016): corpus-wide adjacent character-pair counts
+    within words, top merge candidates — one map + one partial agg +
+    TakeOrdered, the per-round plan of distributed tokenizer training."""
+    from crawler_spark.operators.termstats import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
 def _q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities (operators/linkgraph.hits, Kleinberg
     1999): integer L1-normalized mutual reinforcement over the
@@ -1690,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_union_rollup": _q_hll_union_rollup,
         "split_assign": _q_split_assign,
         "pad_plan": _q_pad_plan,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1763,6 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_union_rollup": SG.sql_hll_union_rollup(),
         "split_assign": SG.sql_split_assign(),
         "pad_plan": SG.sql_pad_plan(),
+        "bpe_pair_counts": SG.sql_bpe_pair_counts(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

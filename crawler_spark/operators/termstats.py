@@ -70,3 +70,42 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
         .where(F.col("_rn") <= k)
         .select("source", "term", "tf", "df", "idf_ppm", "score")
     )
+
+
+# ------------------------------------------------- BPE merge statistics --
+#
+# The first step of byte-pair-encoding tokenizer training (Sennrich et
+# al. 2016; GPT-2's BPE): count adjacent symbol pairs over the corpus
+# and merge the most frequent. Training a tokenizer on a 100 TB corpus
+# is exactly a distributed counting problem — this operator emits the
+# first-iteration sufficient statistics (adjacent CHARACTER pair
+# counts within words) and the top merge candidates. Subsequent merge
+# rounds re-run the same shape over re-segmented words; the per-round
+# plan is what matters at scale, and it is one map (explode pairs) +
+# one partial agg + TakeOrdered — no shuffle beyond the count.
+#
+# Determinism: counts are exact int64; the top-k ties break on the
+# pair string (total order). Words shorter than 2 chars contribute no
+# pairs — filtered BEFORE the transform so Spark's sequence() never
+# sees an empty/descending range.
+
+BPE_TOP_K = 20
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """(pair, cnt): the top-``k`` most frequent adjacent character
+    pairs within words — the first BPE merge candidates."""
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )

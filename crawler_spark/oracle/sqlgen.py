@@ -2808,3 +2808,21 @@ SELECT bucket_len, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(((count(*) * bucket_len - sum(u)) * 1000)
             // (count(*) * bucket_len) AS BIGINT) AS waste_pm
 FROM b GROUP BY bucket_len"""
+
+
+def sql_bpe_pair_counts() -> str:
+    """Twin of operators/termstats.bpe_pair_counts: same within-word
+    adjacent character pairs (range(1, len) is end-exclusive, matching
+    Spark's sequence(1, len-1)), exact counts, pair-string tie-break."""
+    from crawler_spark.operators.termstats import BPE_TOP_K
+
+    return f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p AS (SELECT unnest(list_transform(range(1, length(w)),
+                                   i -> substr(w, CAST(i AS INTEGER), 2)))
+             AS pair
+      FROM w WHERE length(w) >= 2)
+SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC
+LIMIT {BPE_TOP_K}"""
