@@ -1081,6 +1081,28 @@ def _q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"))
 
 
+def _q_bpe_merge_round(spark, sf_dir):
+    """BPE round TWO (operators/termstats.bpe_merge_round): apply the
+    corpus's #1 merge greedily (replace() — leftmost non-overlapping in
+    both engines) and re-count adjacent symbol pairs — the iterated
+    step that makes tokenizer training a loop, same one-broadcast +
+    map + partial-agg plan per round."""
+    from crawler_spark.operators.termstats import bpe_merge_round
+
+    return bpe_merge_round(_t(spark, sf_dir, "documents"))
+
+
+def _q_community_labels(spark, sf_dir):
+    """Label-propagation communities (operators/communities, Raghavan
+    et al. 2007): synchronous majority-label rounds over the link
+    graph, argmax by (count, min label) — per-community budget caps are
+    the anti-link-farm lever per-host caps miss; two partial-agg
+    shuffles per round, lineage truncated like the pagerank loop."""
+    from crawler_spark.operators.communities import communities_over_documents
+
+    return communities_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities (operators/linkgraph.hits, Kleinberg
     1999): integer L1-normalized mutual reinforcement over the
@@ -1708,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "pad_plan": _q_pad_plan,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merge_round": _q_bpe_merge_round,
+        "community_labels": _q_community_labels,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1782,6 +1806,8 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": SG.sql_split_assign(),
         "pad_plan": SG.sql_pad_plan(),
         "bpe_pair_counts": SG.sql_bpe_pair_counts(),
+        "bpe_merge_round": SG.sql_bpe_merge_round(),
+        "community_labels": SG.sql_community_labels(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -109,3 +109,48 @@ def bpe_pair_counts(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(k)
     )
+
+
+# The SECOND training round — the part that proves the loop, not just
+# the first count: apply merge #1 (greedy left-to-right, which is
+# exactly what SQL replace() does: non-overlapping, leftmost-first —
+# the same tie policy Sennrich's reference implementation uses) and
+# re-count adjacent SYMBOL pairs over the re-segmented words. The
+# merged symbol is carried as one sentinel char (\\x01) so the
+# re-segmented word stays a flat string and the pair scan stays the
+# same substring transform — no arrays, no UDF; display maps the
+# sentinel back to "(pair)". Words that already contain the sentinel
+# byte are dropped identically in both engines (they cannot occur in
+# text, but the filter makes the contract total). Per-round plan is
+# unchanged: one 1-row broadcast (the winning merge) + map + partial
+# agg — the fixed point a 100 TB tokenizer-training driver loops on.
+
+
+def bpe_merge_round(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
+    """(pair, cnt): top-``k`` adjacent symbol pairs AFTER applying the
+    corpus's #1 merge — round two of BPE training. The merged symbol
+    prints as ``(xy)``."""
+    top1 = bpe_pair_counts(docs, 1).select(F.col("pair").alias("m1"))
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .where(F.expr("instr(w, chr(1)) = 0"))
+    )
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        F.expr("replace(w, m1, chr(1))").alias("w2"), "m1"
+    )
+    pairs = merged.where(F.length("w2") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w2) - 1), i -> substring(w2, i, 2))")
+        ).alias("p"),
+        "m1",
+    )
+    return (
+        pairs.groupBy("p", "m1")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr("replace(p, chr(1), '(' || m1 || ')')").alias("pair"), "cnt"
+        )
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )

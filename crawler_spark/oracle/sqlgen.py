@@ -2826,3 +2826,63 @@ SELECT pair, CAST(count(*) AS BIGINT) AS cnt
 FROM p GROUP BY pair
 ORDER BY cnt DESC, pair ASC
 LIMIT {BPE_TOP_K}"""
+
+
+def sql_bpe_merge_round() -> str:
+    """Twin of operators/termstats.bpe_merge_round: apply merge #1 via
+    replace() (greedy leftmost non-overlapping in BOTH engines), scan
+    adjacent symbol pairs of the re-segmented word, map the chr(1)
+    sentinel back to "(pair)" for display."""
+    from crawler_spark.operators.termstats import BPE_TOP_K
+
+    return f"""
+WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+w1 AS (SELECT w FROM w0 WHERE length(w) >= 2),
+w AS (SELECT w FROM w1 WHERE strpos(w, chr(1)) = 0),
+r1 AS (SELECT unnest(list_transform(range(1, length(w)),
+                                    i -> substr(w, CAST(i AS INTEGER), 2)))
+              AS pair
+       FROM w1),
+m1 AS (SELECT pair AS m1 FROM r1 GROUP BY pair
+       ORDER BY count(*) DESC, pair ASC LIMIT 1),
+w2 AS (SELECT replace(w, (SELECT m1 FROM m1), chr(1)) AS w2 FROM w),
+p AS (SELECT unnest(list_transform(range(1, length(w2)),
+                                   i -> substr(w2, CAST(i AS INTEGER), 2)))
+             AS p
+      FROM w2 WHERE length(w2) >= 2)
+SELECT replace(p, chr(1), '(' || (SELECT m1 FROM m1) || ')') AS pair,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY p
+ORDER BY cnt DESC, pair ASC
+LIMIT {BPE_TOP_K}"""
+
+
+def sql_community_labels() -> str:
+    """Unrolled-CTE twin of operators/communities.label_propagation:
+    synchronous majority-label rounds over the symmetrized synthetic
+    link graph, argmax by (cnt DESC, label ASC), isolated nodes keep
+    their own label."""
+    from crawler_spark.operators.communities import LPA_ITERATIONS
+
+    iters = []
+    for i in range(1, LPA_ITERATIONS + 1):
+        iters.append(f"""
+v{i} AS (SELECT u.node, l.lbl, CAST(count(*) AS BIGINT) AS cnt
+         FROM und u JOIN l{i - 1} l ON l.node = u.nbr
+         GROUP BY u.node, l.lbl),
+b{i} AS (SELECT node, lbl FROM (
+           SELECT node, lbl,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY cnt DESC, lbl ASC) AS rn
+           FROM v{i}) WHERE rn = 1),
+l{i} AS (SELECT p.node, coalesce(b.lbl, p.lbl) AS lbl
+         FROM l{i - 1} p LEFT JOIN b{i} b USING (node))""")
+    return f"""
+WITH {_link_edges_ctes()},
+und AS (SELECT src AS node, dst AS nbr FROM e
+        UNION SELECT dst, src FROM e),
+l0 AS (SELECT node, node AS lbl FROM nd),{",".join(iters)},
+sz AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS csize
+       FROM l{LPA_ITERATIONS} GROUP BY lbl)
+SELECT l.node AS doc_id, CAST(l.lbl AS BIGINT) AS community, sz.csize
+FROM l{LPA_ITERATIONS} l JOIN sz ON sz.community = l.lbl"""

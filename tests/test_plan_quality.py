@@ -50,6 +50,8 @@ ALLOWED_NESTED_LOOP = {
     "hll_union_rollup",
     # split_assign: 1-row doc-total cross for achieved_pm
     "split_assign",
+    # bpe_merge_round: 1-row winning-merge broadcast cross
+    "bpe_merge_round",
 }
 
 
