@@ -1103,6 +1103,18 @@ def _q_community_labels(spark, sf_dir):
     return communities_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_pq_encode(spark, sf_dir):
+    """Product quantization (operators/similarity.pq_encode, Jégou et
+    al. TPAMI 2011 / faiss PQ): M=4 sub-codebooks from a deterministic
+    seeded-md5 sample, per-subspace argmin as array_min(struct(d², code))
+    — a ZERO-SHUFFLE map over the corpus after one bounded K-row
+    collect; 64 float32 → 4 codes, the RAM step that makes 10^9-vector
+    ANN fit."""
+    from crawler_spark.operators.similarity import pq_encode
+
+    return pq_encode(_t(spark, sf_dir, "embeddings"))
+
+
 def _q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities (operators/linkgraph.hits, Kleinberg
     1999): integer L1-normalized mutual reinforcement over the
@@ -1732,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merge_round": _q_bpe_merge_round,
         "community_labels": _q_community_labels,
+        "pq_encode": _q_pq_encode,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1808,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": SG.sql_bpe_pair_counts(),
         "bpe_merge_round": SG.sql_bpe_merge_round(),
         "community_labels": SG.sql_community_labels(),
+        "pq_encode": SG.sql_pq_encode(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -26,6 +26,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.texthash import h64_seeded
+
 # Shared knobs — sqlgen imports these.
 TOPK_K = 3
 NEARDUP_COSINE = 0.3
@@ -464,3 +466,87 @@ def ann_recall(
         F.count("_approx_n").alias("hits"),
         F.expr("count(_approx_n) * 1000 div count(*)").alias("recall_pm"),
     )
+
+
+# ------------------------------------------------- product quantization --
+#
+# Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011 — public; faiss's PQ): split each vector into M
+# subvectors and quantize each against its own K-word codebook, so a
+# 64-float32 vector stores as M=4 bytes — 64x smaller than float32 and
+# 16x smaller than SQ8 (quantize_embeddings above). IVF gives the
+# coarse cell; PQ is what makes the residual fit in RAM at 10^9+
+# vectors.
+#
+# Codebook: the K training vectors with the SMALLEST seeded-md5 hash of
+# vec_id — a deterministic uniform sample (the k-means++-free seeding
+# step; a production train would run Lloyd rounds from these seeds with
+# the exact same assignment plan below, each round one partial-agg
+# mean per (m, code)). Deterministic sampling keeps the whole operator
+# integer/data-exact so the DuckDB twin is row-identical — raw float32
+# codewords, no averaged values to round.
+#
+# Scale shape: the codebook is M·K = 64 subvectors collected once
+# (bounded, like the IVF cent_rows) and embedded as literals; encoding
+# is a PURE MAP — per subspace an array_min over struct(round(d², 6),
+# code), zero shuffle over the corpus, no window, no join. The 6-dp
+# rounding absorbs last-ulp double drift before the argmin; ties break
+# on the lower code id in both engines.
+
+PQ_M = 4  # subvectors per vector
+PQ_K = 16  # codewords per sub-codebook (1 byte stores two codes)
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_SEED = 41
+
+
+def _l2sq_sub(vec: Column, m: int, codeword) -> Column:
+    """Squared L2 between subvector m of ``vec`` and a literal codeword
+    slice, as the same strict sequential double fold as :func:`dot`."""
+    sub = F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    lit = F.array(
+        *[F.lit(float(codeword[m * PQ_SUBDIM + i])) for i in range(PQ_SUBDIM)]
+    )
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, c0..c{M-1}, recon_err): per-subspace nearest-codeword codes
+    against the deterministic sampled codebook, plus the total squared
+    reconstruction error (4 dp). One bounded collect (K codebook rows),
+    then a zero-shuffle map over the corpus."""
+    sample = (
+        emb.select(
+            id_col,
+            vec_col,
+            h64_seeded(F.col(id_col).cast("string"), PQ_SEED).alias("h"),
+        )
+        .orderBy("h", id_col)
+        .limit(PQ_K)
+        .collect()
+    )
+    cols = [F.col(id_col)]
+    errs = []
+    for m in range(PQ_M):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(_l2sq_sub(F.col(vec_col), m, sample[j][vec_col]), 6).alias("d"),
+                    F.lit(j).alias("c"),
+                )
+                for j in range(PQ_K)
+            ]
+        )
+        best = F.array_min(cands)
+        cols.append(best.getField("c").cast("int").alias(f"c{m}"))
+        errs.append(best.getField("d"))
+    err = errs[0]
+    for e in errs[1:]:
+        err = err + e
+    cols.append(F.round(err, 4).alias("recon_err"))
+    return emb.select(*cols)

@@ -2886,3 +2886,49 @@ sz AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS csize
        FROM l{LPA_ITERATIONS} GROUP BY lbl)
 SELECT l.node AS doc_id, CAST(l.lbl AS BIGINT) AS community, sz.csize
 FROM l{LPA_ITERATIONS} l JOIN sz ON sz.community = l.lbl"""
+
+
+def sql_pq_encode() -> str:
+    """Twin of operators/similarity.pq_encode: same seeded-md5 sampled
+    codebook (row_number order = Spark's collect order), same
+    per-subspace round(d², 6) argmin with (d, code) tie order, same
+    round(Σd, 4) reconstruction error."""
+    from crawler_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SEED,
+        PQ_SUBDIM,
+    )
+
+    diff = (
+        f"(CAST(e.embedding[m.m * {PQ_SUBDIM} + i] AS DOUBLE)"
+        f" - CAST(cb.embedding[m.m * {PQ_SUBDIM} + i] AS DOUBLE))"
+    )
+    pivots = ",\n       ".join(
+        f"CAST(max(CASE WHEN m = {m} THEN code END) AS INTEGER) AS c{m}"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH h AS (SELECT vec_id, embedding,
+                  {sql_h64_seeded("CAST(vec_id AS VARCHAR)", PQ_SEED)} AS h
+           FROM embeddings),
+cb AS (SELECT embedding,
+              row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+       FROM (SELECT * FROM h ORDER BY h, vec_id LIMIT {PQ_K})),
+cand AS (
+  SELECT e.vec_id, m.m, cb.code,
+         round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+               i -> {diff} * {diff})), 6) AS d
+  FROM embeddings e
+  CROSS JOIN (SELECT CAST(range AS INTEGER) AS m FROM range(0, {PQ_M})) m
+  CROSS JOIN cb
+),
+best AS (SELECT vec_id, m, code, d,
+                row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY d ASC, code ASC) AS rn
+         FROM cand)
+SELECT vec_id,
+       {pivots},
+       round(sum(d), 4) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id"""
