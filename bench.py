@@ -671,9 +671,22 @@ def _write_bench_md(sc: dict) -> None:
             "near-perfectly parallel work (packed/cores tracks wall).",
             "",
         ]
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    # a scaling rewrite must not clobber the operator-suite section the
+    # --ops mode maintains below the marker — carry it over verbatim
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if OPS_MARKER in old:
+            tail = old[old.index(OPS_MARKER):]
+    with open(path, "w") as f:
         f.write("\n".join(lines))
+        if tail:
+            f.write(tail)
 
+
+OPS_MARKER = "<!-- ops-suite -->"
 
 R3_OPS = [
     "cuckoo_unseen", "anchor_terms", "registrable_rollup", "redirect_rollup",
@@ -722,6 +735,40 @@ def _ops_bench() -> None:
         "cpus": CPUS,
     }
     print(json.dumps(out))
+    _write_ops_section(out)
+
+
+def _write_ops_section(out: dict) -> None:
+    """Replace (or append) the operator-suite section of BENCH.md below
+    OPS_MARKER; the scaling writer preserves it on full rewrites."""
+    qs = sorted(out["queries"].items(), key=lambda kv: -kv[1])
+    lines = [
+        OPS_MARKER,
+        f"## Operator suite (sf{out['sf']}, {out['cpus']} cores, best-of-2 — "
+        "`python bench.py --ops`)",
+        "",
+        f"{len(qs)} operator queries, one count() each, best of 2 interleaved",
+        f"reps: **{out['value']} s total**. The expensive tail is iterative or",
+        "two-sided by design (dupe_census = MinHash→LSH→CC fixpoint;",
+        "ann_recall and lsh_quality carry exact ground-truth sides;",
+        "hits_scores and community_labels are unrolled graph rounds).",
+        "",
+        "| op | s | op | s |",
+        "|---|---|---|---|",
+    ]
+    for i in range(0, len(qs), 2):
+        a = qs[i]
+        b = qs[i + 1] if i + 1 < len(qs) else ("", "")
+        lines.append(f"| {a[0]} | {a[1]} | {b[0]} | {b[1]} |")
+    lines.append("")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    head = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        head = old.split(OPS_MARKER)[0]
+    with open(path, "w") as f:
+        f.write(head + "\n".join(lines))
 
 
 def main() -> None:
