@@ -1103,6 +1103,17 @@ def _q_community_labels(spark, sf_dir):
     return communities_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_data_card(spark, sf_dir):
+    """Corpus data card (operators/datacard): document and token shares
+    per language × quality bucket — the composition table every
+    training-data release ships (Datasheets for Datasets, CACM 2021).
+    One partial-agg pass + a 1-row broadcast total, pure JVM text
+    expressions."""
+    from crawler_spark.operators.datacard import corpus_data_card
+
+    return corpus_data_card(_t(spark, sf_dir, "documents"))
+
+
 def _q_pq_encode(spark, sf_dir):
     """Product quantization (operators/similarity.pq_encode, Jégou et
     al. TPAMI 2011 / faiss PQ): M=4 sub-codebooks from a deterministic
@@ -1745,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_round": _q_bpe_merge_round,
         "community_labels": _q_community_labels,
         "pq_encode": _q_pq_encode,
+        "data_card": _q_data_card,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1822,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_round": SG.sql_bpe_merge_round(),
         "community_labels": SG.sql_community_labels(),
         "pq_encode": SG.sql_pq_encode(),
+        "data_card": SG.sql_data_card(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

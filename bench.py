@@ -706,6 +706,7 @@ R3_OPS = [
     "bm25_topk", "priority_sample", "fair_budget",
     "hits_scores", "hll_union_rollup", "split_assign", "pad_plan",
     "bpe_pair_counts", "bpe_merge_round", "community_labels", "pq_encode",
+    "data_card",
 ]
 
 

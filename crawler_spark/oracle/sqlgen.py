@@ -2932,3 +2932,71 @@ SELECT vec_id,
        round(sum(d), 4) AS recon_err
 FROM best WHERE rn = 1
 GROUP BY vec_id"""
+
+
+def sql_data_card() -> str:
+    """Twin of operators/datacard.corpus_data_card: same marker lang-ID
+    chain, same integer quality bucket, same regex token count, same
+    per-mille share division."""
+    from crawler_spark.functions.textstats import (
+        LANG_MARKERS,
+        STOPWORDS,
+        TOKEN_REGEX,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        s = " + ".join(_occ(w) for w in LANG_MARKERS[lang])
+        score_exprs.append(f"({s}) AS s_{lang}")
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    chain = " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs)
+    stop = " + ".join(_occ(w) for w in STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         ({stop}) AS n_stop,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT)
+           AS n_tok,
+         {', '.join(score_exprs)}
+  FROM documents
+), g AS (
+  SELECT *,
+         CAST(floor((n_chars - n_words + 1) * 100 / n_words) AS BIGINT)
+           AS awl_c,
+         {best} AS best
+  FROM f
+), s AS (
+  SELECT *,
+         CAST(least(n_words * 4, 400)
+              + least(CAST(floor(n_stop * 2000 / n_words) AS BIGINT), 400)
+              + least(CAST(floor(awl_c / 4) AS BIGINT), 200) AS BIGINT)
+           AS score,
+         CASE WHEN best = 0 THEN 'und'
+              ELSE (CASE {chain} ELSE 'und' END) END AS lang
+  FROM g
+), d AS (
+  SELECT lang,
+         CASE WHEN score >= 700 THEN 'high'
+              WHEN score >= 400 THEN 'medium'
+              ELSE 'low' END AS quality_bucket,
+         n_words, n_tok
+  FROM s
+), cells AS (
+  SELECT lang, quality_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(n_words) AS BIGINT) AS sum_words
+  FROM d GROUP BY lang, quality_bucket
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         CAST(sum(n_tokens) AS BIGINT) AS tt
+  FROM cells
+)
+SELECT lang, quality_bucket, n_docs, n_tokens,
+       CAST(n_docs * 1000 // td AS BIGINT) AS docs_pm,
+       CAST(n_tokens * 1000 // tt AS BIGINT) AS tokens_pm,
+       CAST(sum_words // n_docs AS BIGINT) AS avg_words
+FROM cells, tot"""

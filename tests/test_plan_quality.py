@@ -52,6 +52,8 @@ ALLOWED_NESTED_LOOP = {
     "split_assign",
     # bpe_merge_round: 1-row winning-merge broadcast cross
     "bpe_merge_round",
+    # data_card: 1-row corpus-totals broadcast cross
+    "data_card",
 }
 
 
