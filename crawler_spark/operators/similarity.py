@@ -488,10 +488,14 @@ def ann_recall(
 #
 # Scale shape: the codebook is M·K = 64 subvectors collected once
 # (bounded, like the IVF cent_rows) and embedded as literals; encoding
-# is a PURE MAP — per subspace an array_min over struct(round(d², 6),
-# code), zero shuffle over the corpus, no window, no join. The 6-dp
-# rounding absorbs last-ulp double drift before the argmin; ties break
-# on the lower code id in both engines.
+# is a PURE MAP — per subspace an array_min over struct(d²_micro,
+# code), zero shuffle over the corpus, no window, no join. Distances
+# are quantized ONCE to int64 micro-units (round(d²·10⁶)) — comparing
+# and summing integers thereafter, because re-rounding a SUM of
+# rounded doubles lands exactly on decimal half-boundaries where
+# Spark's HALF_UP BigDecimal and DuckDB's binary-double rounding
+# disagree (observed: Σ of four 6-dp values = 1.25995 → 1.26 vs
+# 1.2599). Ties break on the lower code id in both engines.
 
 PQ_M = 4  # subvectors per vector
 PQ_K = 16  # codewords per sub-codebook (1 byte stores two codes)
@@ -516,10 +520,11 @@ def _l2sq_sub(vec: Column, m: int, codeword) -> Column:
 def pq_encode(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(id, c0..c{M-1}, recon_err): per-subspace nearest-codeword codes
-    against the deterministic sampled codebook, plus the total squared
-    reconstruction error (4 dp). One bounded collect (K codebook rows),
-    then a zero-shuffle map over the corpus."""
+    """(id, c0..c{M-1}, recon_err_u6): per-subspace nearest-codeword
+    codes against the deterministic sampled codebook, plus the total
+    squared reconstruction error in int64 micro-units. One bounded
+    collect (K codebook rows), then a zero-shuffle map over the
+    corpus."""
     sample = (
         emb.select(
             id_col,
@@ -536,7 +541,12 @@ def pq_encode(
         cands = F.array(
             *[
                 F.struct(
-                    F.round(_l2sq_sub(F.col(vec_col), m, sample[j][vec_col]), 6).alias("d"),
+                    F.round(
+                        _l2sq_sub(F.col(vec_col), m, sample[j][vec_col])
+                        * F.lit(1_000_000.0)
+                    )
+                    .cast("long")
+                    .alias("d"),
                     F.lit(j).alias("c"),
                 )
                 for j in range(PQ_K)
@@ -548,5 +558,5 @@ def pq_encode(
     err = errs[0]
     for e in errs[1:]:
         err = err + e
-    cols.append(F.round(err, 4).alias("recon_err"))
+    cols.append(err.cast("long").alias("recon_err_u6"))
     return emb.select(*cols)

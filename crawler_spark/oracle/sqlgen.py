@@ -2891,8 +2891,10 @@ FROM l{LPA_ITERATIONS} l JOIN sz ON sz.community = l.lbl"""
 def sql_pq_encode() -> str:
     """Twin of operators/similarity.pq_encode: same seeded-md5 sampled
     codebook (row_number order = Spark's collect order), same
-    per-subspace round(d², 6) argmin with (d, code) tie order, same
-    round(Σd, 4) reconstruction error."""
+    per-subspace integer-micro-unit d² argmin with (d, code) tie
+    order, same exact int64 Σd reconstruction error (a second decimal
+    rounding of summed rounded doubles hits half-boundaries where the
+    engines disagree — hence integers)."""
     from crawler_spark.operators.similarity import (
         PQ_K,
         PQ_M,
@@ -2917,8 +2919,8 @@ cb AS (SELECT embedding,
        FROM (SELECT * FROM h ORDER BY h, vec_id LIMIT {PQ_K})),
 cand AS (
   SELECT e.vec_id, m.m, cb.code,
-         round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
-               i -> {diff} * {diff})), 6) AS d
+         CAST(round(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),
+               i -> {diff} * {diff})) * 1000000) AS BIGINT) AS d
   FROM embeddings e
   CROSS JOIN (SELECT CAST(range AS INTEGER) AS m FROM range(0, {PQ_M})) m
   CROSS JOIN cb
@@ -2929,7 +2931,7 @@ best AS (SELECT vec_id, m, code, d,
          FROM cand)
 SELECT vec_id,
        {pivots},
-       round(sum(d), 4) AS recon_err
+       CAST(sum(d) AS BIGINT) AS recon_err_u6
 FROM best WHERE rn = 1
 GROUP BY vec_id"""
 

@@ -32,12 +32,12 @@ def _py_pq(rows):
                 for i in range(PQ_SUBDIM):
                     x = vec[m * PQ_SUBDIM + i] - cw[m * PQ_SUBDIM + i]
                     d += x * x
-                d = round(d, 6)
+                d = round(d * 1_000_000)
                 if best is None or (d, j) < best:
                     best = (d, j)
             codes.append(best[1])
             err += best[0]
-        out[vid] = (codes, round(err, 4))
+        out[vid] = (codes, err)
     return out
 
 
@@ -54,14 +54,14 @@ def test_pq_matches_python_twin(spark):
         [(i, [float(x) for x in v]) for i, v in rows], ["vec_id", "embedding"]
     )
     got = {
-        r["vec_id"]: ([r[f"c{m}"] for m in range(PQ_M)], r["recon_err"])
+        r["vec_id"]: ([r[f"c{m}"] for m in range(PQ_M)], r["recon_err_u6"])
         for r in pq_encode(df).collect()
     }
     want = _py_pq(rows)
     assert set(got) == set(want)
     for vid in want:
         assert got[vid][0] == want[vid][0], vid
-        assert got[vid][1] == pytest.approx(want[vid][1], abs=1e-9)
+        assert got[vid][1] == want[vid][1]
 
 
 @pytest.mark.spark
@@ -76,4 +76,4 @@ def test_pq_codebook_members_have_zero_error(spark):
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     for r in pq_encode(df).collect():
-        assert r["recon_err"] == 0.0
+        assert r["recon_err_u6"] == 0
