@@ -1678,6 +1678,59 @@ def _q_cuckoo_unseen(spark, sf_dir):
     return unseen.groupBy("source").agg(F.count(F.lit(1)).alias("n_unseen"))
 
 
+def _q_cluster_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection (operators/components.
+    cluster_keep_best): within every MinHash-LSH duplicate cluster keep
+    the argmax-quality copy (RefinedWeb/FineWeb keep-best, not the
+    crawl-parity min-id first-wins). One partial-agg argmax per cluster
+    — min_by over a (-quality, id) struct, no window — then a join
+    back on cluster_id."""
+    from crawler_spark.functions.textstats import quality_features
+    from crawler_spark.operators.components import (
+        cluster_keep_best,
+        dedup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        quality_features(F.col("text"))["quality_score_pm"].alias("quality_pm"),
+    )
+    return cluster_keep_best(q, dedup_clusters(d, TD.minhash_lsh_pairs(d)))
+
+
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence counts (operators/cooccur, word2vec/
+    GloVe training statistic): undirected ±3-token-window pairs with
+    exact integer closeness mass Σ(1000 div d) — pure-JVM per-offset
+    transform/explode fan-out into ONE partial-agg groupBy(a, b),
+    count-1 tail pruned inside the agg."""
+    from crawler_spark.operators.cooccur import skipgram_pairs
+
+    return skipgram_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_fetch_shard_plan(spark, sf_dir):
+    """Fetcher-shard load balancing (operators/fairshare.
+    serpentine_shard_plan): hosts (politeness affinity forbids
+    splitting one) snake-drafted over 8 shards by load rank — the
+    declarative LPT stand-in — then the K-row per-shard rollup with
+    per-mille load shares. The only global sort is over |hosts|, not
+    |urls|."""
+    from crawler_spark.operators.fairshare import serpentine_shard_plan
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy(
+            F.concat(
+                F.col("source"), F.lit("-"), (F.col("doc_id") % 97).cast("string")
+            ).alias("host")
+        )
+        .agg(F.sum("n_chars").alias("load"))
+    )
+    return serpentine_shard_plan(hosts)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1757,6 +1810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_labels": _q_community_labels,
         "pq_encode": _q_pq_encode,
         "data_card": _q_data_card,
+        "cluster_keep_best": _q_cluster_keep_best,
+        "skipgram_pairs": _q_skipgram_pairs,
+        "fetch_shard_plan": _q_fetch_shard_plan,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1835,6 +1891,9 @@ def oracle_sql() -> dict[str, str]:
         "community_labels": SG.sql_community_labels(),
         "pq_encode": SG.sql_pq_encode(),
         "data_card": SG.sql_data_card(),
+        "cluster_keep_best": SG.sql_cluster_keep_best(),
+        "skipgram_pairs": SG.sql_skipgram_pairs(),
+        "fetch_shard_plan": SG.sql_fetch_shard_plan(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

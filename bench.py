@@ -706,7 +706,7 @@ R3_OPS = [
     "bm25_topk", "priority_sample", "fair_budget",
     "hits_scores", "hll_union_rollup", "split_assign", "pad_plan",
     "bpe_pair_counts", "bpe_merge_round", "community_labels", "pq_encode",
-    "data_card",
+    "data_card", "cluster_keep_best", "skipgram_pairs", "fetch_shard_plan",
 ]
 
 

@@ -147,6 +147,52 @@ def dedup_clusters(
     )
 
 
+def cluster_keep_best(
+    docs: DataFrame,
+    clusters: DataFrame,
+    quality_col: str = "quality_pm",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware canonical selection: (doc_id, cluster_id,
+    cluster_size, quality_pm, is_kept) — within every duplicate cluster
+    keep the HIGHEST-quality document instead of the min-id one.
+
+    ``dedup_clusters``'s min-id survivor is the right default for crawl
+    URL-dedup (first-wins parity with the reference's seen set), but a
+    training-data release wants the best COPY of each duplicated page:
+    RefinedWeb/FineWeb-style pipelines pick the cluster representative
+    by quality signal, not discovery order. ``docs`` must carry an
+    integer quality column (``quality_col``; e.g. textstats
+    quality_score_pm — integer so the argmax is bit-identical across
+    engines); ties break to the smaller doc_id, so selection stays
+    deterministic.
+
+    Scale shape: one map-side join of the (already computed) cluster
+    labels with the per-doc quality column, then ONE partial-agg argmax
+    per cluster (min_by over a (-quality, id) struct — no window, no
+    per-cluster sort), and a broadcast-or-shuffle join back on
+    cluster_id. Cluster count ≤ doc count and the argmax output is one
+    row per cluster, so no stage ever exceeds O(|docs|) rows."""
+    q = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(quality_col).cast("long").alias("quality_pm"),
+    )
+    lab = clusters.select(id_col, "cluster_id", "cluster_size").join(q, id_col)
+    best = lab.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col("quality_pm")).alias("o1"), F.col(id_col).alias("o2")),
+        ).alias("_keep")
+    )
+    return lab.join(best, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        "quality_pm",
+        (F.col(id_col) == F.col("_keep")).alias("is_kept"),
+    )
+
+
 def duplication_census(
     docs: DataFrame, clusters: DataFrame, stratum_col: str = "source"
 ) -> DataFrame:

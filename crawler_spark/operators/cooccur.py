@@ -1,0 +1,97 @@
+"""Skip-gram co-occurrence counts — the embedding-training statistic.
+
+Word-embedding training (word2vec SGNS, Mikolov et al. 2013; GloVe,
+Pennington et al. 2014 — both public) starts from one corpus-wide
+statistic: how often word a appears within a ±W token window of word b,
+with closer positions weighted higher (GloVe weights a pair at offset d
+by 1/d). At web scale this count table IS the training set — computing
+it is a canonical 100 TB distributed job, and its output doubles as a
+collocation table for phrase mining and a context signal for
+distributional lang-ID.
+
+The reference has no embedding tier; this extends the LLM-pipeline
+surface (SURVEY §2.11) alongside `ngram_lm_counts` / `tfidf_top_terms`.
+
+Determinism contract: pairs are UNDIRECTED with the canonical
+lexicographic orientation (a = least, b = greatest — same convention as
+the dedup pair generators' id_a < id_b); the distance weight is the
+exact integer per-mille ``1000 div d`` summed over occurrences, so the
+DuckDB twin is row-identical (no float 1/d).
+
+Scale shape (100 TB corpus):
+- pair generation is a pure map: split → per-offset transform(sequence)
+  zip → explode — no Python, no shuffle, fan-out ≤ W× token count;
+- ONE partial-agg groupBy(a, b) over the union of offsets: map-side
+  combine absorbs the Zipf head (the/of pairs) before the shuffle, and
+  after the agg every heavy pair is a single row — no group skew
+  downstream;
+- the count-1 tail (the overwhelming majority of distinct pairs, same
+  Zipf argument as n-gram pruning in Brants et al. 2007) is pruned by
+  ``min_count`` INSIDE the agg's HAVING position, before anything
+  downstream sees it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+COOC_WINDOW = 3  # ±W tokens
+COOC_MIN_COUNT = 2  # prune the count-1 tail
+COOC_W_SCALE = 1_000  # integer GloVe-style distance weight: 1000 div d
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = COOC_WINDOW,
+    min_count: int = COOC_MIN_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, cnt, w_pm) — undirected co-occurrence counts within a
+    ±``window`` token span: cnt = occurrence count across the corpus,
+    w_pm = Σ (1000 div d) over those occurrences (GloVe-style closeness
+    mass, exact integer). Pairs with cnt < ``min_count`` are pruned;
+    self-pairs (a = b at distance d) are kept — a repeated token is a
+    real distributional signal (and dropping it would special-case the
+    oracle for no modelling reason)."""
+    w = F.split(F.col(text_col), " ")
+
+    def _pair_at(d: int):
+        # closure factory, NOT a default-arg lambda: pyspark dispatches
+        # on the callable's arity, so a 2-parameter lambda would be
+        # called as (element, index) and the second parameter would be
+        # silently bound to the array index instead of the offset
+        def f(i):
+            return F.struct(
+                F.least(
+                    F.element_at(w, i), F.element_at(w, i + F.lit(d))
+                ).alias("a"),
+                F.greatest(
+                    F.element_at(w, i), F.element_at(w, i + F.lit(d))
+                ).alias("b"),
+            )
+
+        return f
+
+    per_offset = []
+    for d in range(1, window + 1):
+        pos = F.when(
+            F.size(w) > d, F.sequence(F.lit(1), F.size(w) - d)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.transform(pos, _pair_at(d))
+        per_offset.append(
+            docs.select(F.explode(pair).alias("p")).select(
+                "p.a", "p.b", F.lit(COOC_W_SCALE // d).cast("long").alias("w")
+            )
+        )
+    allp = per_offset[0]
+    for p in per_offset[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("w").alias("w_pm"),
+        )
+        .where(F.col("cnt") >= min_count)
+    )

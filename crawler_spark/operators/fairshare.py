@@ -103,3 +103,61 @@ def fair_budget(
             F.lit(theta).cast("long").alias("water_level"),
         )
     )
+
+
+SHARD_COUNT = 8
+
+
+def serpentine_shard_plan(
+    hosts: DataFrame,
+    shards: int = SHARD_COUNT,
+    host_col: str = "host",
+    load_col: str = "load",
+) -> DataFrame:
+    """Host → fetcher-shard assignment balanced by expected load:
+    (shard, n_hosts, total_load, load_pm, max_host_load).
+
+    A fleet crawler partitions hosts across fetcher shards (a host must
+    stay on ONE shard for politeness state); hash partitioning balances
+    host COUNTS but not load — one mega-host lands wherever its hash
+    says and that shard runs long (exactly the skew the frontier's
+    salting exists for, but fetch affinity forbids splitting a host).
+    Sorted-serpentine assignment is the deterministic, fully-declarative
+    longest-processing-time stand-in (Graham 1969's LPT needs a
+    sequential least-loaded-bin scan; boustrophedon placement over the
+    load-sorted host list gets within one pass-width of it and is a
+    plain window + map expression — the same snake draft used in
+    parallel-machine scheduling literature): rank hosts by (load desc,
+    host), walk shards 0..K-1 then K-1..0, repeat.
+
+    Scale shape: one partial-agg per-host load rollup happens UPSTREAM
+    (the input here is already (host, load)); the rank is one global
+    window over |hosts| rows — bounded by host count (~10^8), not URL
+    count (~10^10), and the only global sort in the plan (documented,
+    same bound as fair_budget's level pass); the serpentine expression
+    and the final K-row rollup are pure map + partial agg."""
+    r = F.row_number().over(
+        Window.orderBy(F.desc(load_col), F.col(host_col))
+    ) - F.lit(1)
+    pos = r % F.lit(shards)
+    snake = F.when(
+        (r / F.lit(shards)).cast("long") % 2 == 0, pos
+    ).otherwise(F.lit(shards - 1) - pos)
+    assigned = hosts.select(
+        F.col(host_col),
+        F.col(load_col).cast("long").alias("load"),
+        snake.cast("int").alias("shard"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("load").alias("total_load"),
+        F.max("load").alias("max_host_load"),
+    )
+    tot = per_shard.agg(F.sum("total_load").alias("_t"))
+    return per_shard.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_hosts",
+        "total_load",
+        F.expr("total_load * 1000 div _t").cast("long").alias("load_pm"),
+        "max_host_load",
+    )

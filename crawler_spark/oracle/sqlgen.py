@@ -3002,3 +3002,110 @@ SELECT lang, quality_bucket, n_docs, n_tokens,
        CAST(n_tokens * 1000 // tt AS BIGINT) AS tokens_pm,
        CAST(sum_words // n_docs AS BIGINT) AS avg_words
 FROM cells, tot"""
+
+
+def sql_cluster_keep_best() -> str:
+    """Twin of operators/components.cluster_keep_best: quality-aware
+    canonical selection over the MinHash-LSH duplicate clusters — the
+    kept doc per cluster is argmax(quality_score_pm) with min-doc_id
+    tie-break, expressed as a row_number window (the declarative twin
+    of Spark's min_by-over-struct partial agg)."""
+    stop = " + ".join(_occ(w) for w in STOPWORDS)
+    return f"""{_cluster_label_ctes()},
+cl AS (
+  SELECT l.doc_id, l.cluster_id, sz.cluster_size
+  FROM lab l JOIN sz USING (cluster_id)
+),
+qf AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         ({stop}) AS n_stop
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+         CAST(least(n_words * 4, 400)
+              + least(CAST(floor(n_stop * 2000 / n_words) AS BIGINT), 400)
+              + least(CAST(floor(
+                  CAST(floor((n_chars - n_words + 1) * 100 / n_words)
+                       AS BIGINT) / 4) AS BIGINT), 200) AS BIGINT)
+           AS quality_pm
+  FROM qf
+),
+j AS (SELECT cl.*, q.quality_pm FROM cl JOIN q USING (doc_id)),
+r AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY quality_pm DESC, doc_id ASC) AS rn
+  FROM j
+)
+SELECT doc_id, cluster_id, cluster_size, quality_pm,
+       rn = 1 AS is_kept
+FROM r"""
+
+
+def sql_skipgram_pairs() -> str:
+    """Twin of operators/cooccur.skipgram_pairs: undirected ±W-window
+    co-occurrence counts with the exact integer GloVe-style closeness
+    mass Σ (1000 div d), canonical a ≤ b orientation, cnt ≥ min tail
+    prune."""
+    from crawler_spark.operators.cooccur import (
+        COOC_MIN_COUNT,
+        COOC_W_SCALE,
+        COOC_WINDOW,
+    )
+
+    per_d = "\nUNION ALL\n".join(
+        f"""SELECT least(ws[i], ws[i + {d}]) AS a,
+       greatest(ws[i], ws[i + {d}]) AS b,
+       CAST({COOC_W_SCALE // d} AS BIGINT) AS w
+FROM w, unnest(generate_series(1, len(ws) - {d})) AS s(i)"""
+        for d in range(1, COOC_WINDOW + 1)
+    )
+    return f"""
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+p AS (
+{per_d}
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(w) AS BIGINT) AS w_pm
+FROM p GROUP BY a, b HAVING count(*) >= {COOC_MIN_COUNT}"""
+
+
+def sql_fetch_shard_plan() -> str:
+    """Twin of operators/fairshare.serpentine_shard_plan over the
+    synthesized host-load table (host = source '-' doc_id mod 97,
+    load = Σ n_chars): load-desc serpentine walk over the shards, then
+    the per-shard rollup with exact per-mille load shares."""
+    from crawler_spark.operators.fairshare import SHARD_COUNT
+
+    k = SHARD_COUNT
+    return f"""
+WITH hosts AS (
+  SELECT source || '-' || CAST(doc_id % 97 AS VARCHAR) AS host,
+         CAST(sum(n_chars) AS BIGINT) AS load
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT host, load,
+         row_number() OVER (ORDER BY load DESC, host ASC) - 1 AS rk
+  FROM hosts
+),
+a AS (
+  SELECT host, load,
+         CASE WHEN (rk // {k}) % 2 = 0 THEN rk % {k}
+              ELSE {k - 1} - rk % {k} END AS shard
+  FROM r
+),
+per AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(load) AS BIGINT) AS total_load,
+         CAST(max(load) AS BIGINT) AS max_host_load
+  FROM a GROUP BY shard
+),
+tot AS (SELECT CAST(sum(total_load) AS BIGINT) AS t FROM per)
+SELECT CAST(shard AS INT) AS shard, n_hosts, total_load,
+       CAST(total_load * 1000 // t AS BIGINT) AS load_pm,
+       max_host_load
+FROM per, tot"""

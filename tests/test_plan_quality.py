@@ -54,6 +54,8 @@ ALLOWED_NESTED_LOOP = {
     "bpe_merge_round",
     # data_card: 1-row corpus-totals broadcast cross
     "data_card",
+    # fetch_shard_plan: 1-row grand-total-load broadcast cross
+    "fetch_shard_plan",
 }
 
 
