@@ -1731,6 +1731,39 @@ def _q_fetch_shard_plan(spark, sf_dir):
     return serpentine_shard_plan(hosts)
 
 
+def _q_trustrank(spark, sf_dir):
+    """Anti-spam frontier priority: TrustRank (Gyöngyi et al., VLDB
+    2004 — operators/linkgraph.trustrank) over the arithmetic link
+    graph with the deterministic doc_id %% 17 seed rule. Teleport mass
+    flows only from trusted seeds, so link farms starve; exact integer
+    ppb updates keep the 5-iteration loop bit-identical to the
+    unrolled-CTE oracle."""
+    from crawler_spark.operators.linkgraph import trustrank_over_documents
+
+    return trustrank_over_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q_postings_size_plan(spark, sf_dir):
+    """Index-storage sizing (operators/invindex.postings_size_plan):
+    exact Elias-γ / varint cost of every term's delta-gap posting list
+    — hierarchical two-level gap computation so stopword terms never
+    funnel a whole posting list through one window task; row-identical
+    to the oracle's naive flat-lag form."""
+    from crawler_spark.operators.invindex import postings_size_plan
+
+    return postings_size_plan(_t(spark, sf_dir, "documents"))
+
+
+def _q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget decision table (operators/termstats.
+    vocab_coverage): corpus token coverage of a top-k word vocabulary
+    at k ∈ {100, 1k, 10k} — one partial-agg unigram count, one
+    vocab-bounded rank window, ONE conditional-sum aggregate."""
+    from crawler_spark.operators.termstats import vocab_coverage
+
+    return vocab_coverage(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1813,6 +1846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": _q_cluster_keep_best,
         "skipgram_pairs": _q_skipgram_pairs,
         "fetch_shard_plan": _q_fetch_shard_plan,
+        "trustrank": _q_trustrank,
+        "postings_size_plan": _q_postings_size_plan,
+        "vocab_coverage": _q_vocab_coverage,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1894,6 +1930,9 @@ def oracle_sql() -> dict[str, str]:
         "cluster_keep_best": SG.sql_cluster_keep_best(),
         "skipgram_pairs": SG.sql_skipgram_pairs(),
         "fetch_shard_plan": SG.sql_fetch_shard_plan(),
+        "trustrank": SG.sql_trustrank(),
+        "postings_size_plan": SG.sql_postings_size_plan(),
+        "vocab_coverage": SG.sql_vocab_coverage(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -299,3 +299,98 @@ def hits_over_documents(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("long").alias("hub_ppb"),
         )
     return hits(synth_link_graph(docs, n), nodes)
+
+
+TR_SEED_MOD = 17  # driver-query seed rule: doc_id % 17 == 0 is trusted
+
+
+def trustrank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    n_seeds: int,
+    iterations: int = PR_ITERATIONS,
+) -> DataFrame:
+    """(node, is_seed, rank_ppb) — TrustRank (Gyöngyi, Garcia-Molina,
+    Pedersen, "Combating Web Spam with TrustRank", VLDB 2004 — public):
+    PageRank whose teleport vector is uniform over a TRUSTED seed set
+    instead of all nodes, so score flows outward from vetted hosts and
+    link farms (which no trusted page links to) starve. The crawl-
+    frontier consumer is the anti-spam priority tier: pages unreachable
+    from trust get demoted no matter how densely they cite each other —
+    the complement to trap_detect's URL-shape signal and
+    community_labels' farm-budget cap.
+
+    Same exact-integer contract as :func:`pagerank` (parts-per-billion
+    mass, div/sum updates, bit-identical across engines): seeds start
+    with ``SCALE div n_seeds``, everything else 0; the teleport base is
+    paid only to seeds. Dangling mass is dropped (same documented
+    deviation as pagerank, shared by the oracle).
+
+    Scale shape: identical to pagerank — per iteration one src-keyed
+    join + one partial-agg groupBy(dst), lineage truncated per step;
+    the seed table rides along as a broadcast-sized flag column."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    src_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
+
+    init = PR_SCALE // n_seeds
+    base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    nodes_l = (
+        nodes.select(F.col("node").cast("long").alias("node"))
+        .join(
+            seeds.select(F.col("node").cast("long").alias("node"))
+            .withColumn("_s", F.lit(True)),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_s", F.lit(False)).alias("is_seed"))
+        .localCheckpoint()
+    )
+    ranks = nodes_l.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(init)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_ppb"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(src_deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank_ppb div out_deg").alias("c"))
+        )
+        in_sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes_l.join(in_sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(s, 0L)) div {PR_DAMP_DEN}")
+                ).cast("long").alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
+    return nodes_l.join(ranks, "node").select(
+        F.col("node").alias("doc_id"), "is_seed", "rank_ppb"
+    )
+
+
+def trustrank_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: arithmetic link graph + the deterministic seed rule
+    doc_id % TR_SEED_MOD == 0. Two bounded driver scalars (node and
+    seed counts) — same role as pagerank_over_documents' n."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    seeds = nodes.where(F.col("node") % TR_SEED_MOD == 0)
+    n_seeds = seeds.count()
+    if n == 0 or n_seeds == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(False).alias("is_seed"),
+            F.lit(0).cast("long").alias("rank_ppb"),
+        )
+    edges = synth_link_graph(docs, n)
+    return trustrank(edges, nodes, seeds, n_seeds)

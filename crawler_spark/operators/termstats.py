@@ -154,3 +154,61 @@ def bpe_merge_round(docs: DataFrame, k: int = BPE_TOP_K) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("pair"))
         .limit(k)
     )
+
+
+VOCAB_KS = (100, 1_000, 10_000)
+
+
+def vocab_coverage(docs: DataFrame, ks: tuple = VOCAB_KS) -> DataFrame:
+    """(k, vocab_terms, covered_tokens, total_tokens, coverage_pm) —
+    the tokenizer-budget decision table: how much of the corpus token
+    stream does a top-k word vocabulary cover? (The Zipf curve every
+    tokenizer design starts from — BPE exists because word-level top-k
+    flattens out; this measures exactly where, per corpus.) One row per
+    candidate vocab size k.
+
+    Scale shape: unigram counts are one partial agg (Zipf head absorbed
+    map-side); the rank is one global window over |vocab| rows — vocab
+    is corpus-bounded (~10^7 distinct words at web scale), NOT token-
+    bounded, the same documented bound as tfidf's idf table; the per-k
+    coverage is ONE conditional-sum aggregate over the ranked vocab
+    (no per-k join, no second pass), unpivoted to k rows at the end.
+    Ties rank (cnt desc, word asc) — total and engine-portable."""
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    r = F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("w")))
+    ranked = counts.withColumn("r", r)
+    aggs = [
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt").alias("total"),
+    ] + [
+        F.sum(F.when(F.col("r") <= k, F.col("cnt")).otherwise(0)).alias(f"c{k}")
+        for k in ks
+    ]
+    one = ranked.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.least(F.lit(k).cast("long"), F.col("v")).alias("vocab_terms"),
+                F.col(f"c{k}").cast("long").alias("covered_tokens"),
+            )
+            for k in ks
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("x"), F.col("total"))
+        .select(
+            "x.k",
+            "x.vocab_terms",
+            "x.covered_tokens",
+            F.col("total").cast("long").alias("total_tokens"),
+            F.expr("x.covered_tokens * 1000 div total").cast("long").alias(
+                "coverage_pm"
+            ),
+        )
+    )

@@ -3109,3 +3109,114 @@ SELECT CAST(shard AS INT) AS shard, n_hosts, total_load,
        CAST(total_load * 1000 // t AS BIGINT) AS load_pm,
        max_host_load
 FROM per, tot"""
+
+
+def sql_trustrank() -> str:
+    """Twin of operators/linkgraph.trustrank over the synthetic graph +
+    the doc_id % TR_SEED_MOD seed rule: unrolled integer power
+    iteration whose teleport base is paid only to seed nodes."""
+    from crawler_spark.operators.linkgraph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERATIONS,
+        PR_SCALE,
+        TR_SEED_MOD,
+    )
+
+    base = (
+        f"CASE WHEN nd2.is_seed THEN ((({PR_SCALE} // (SELECT ns FROM sn)) "
+        f"* {PR_DAMP_DEN - PR_DAMP_NUM}) // {PR_DAMP_DEN}) ELSE 0 END"
+    )
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT nd2.node,
+         CAST({base}
+              + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN}
+           AS BIGINT) AS rank_ppb
+  FROM nd2 LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(r.rank_ppb // od.out_deg) AS BIGINT) AS s
+    FROM e JOIN od USING (src) JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    return f"""
+WITH {_link_edges_ctes()},
+nd2 AS (SELECT node, node % {TR_SEED_MOD} = 0 AS is_seed FROM nd),
+sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nd2 WHERE is_seed),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+r0 AS (SELECT node,
+              CASE WHEN is_seed THEN {PR_SCALE} // (SELECT ns FROM sn)
+                   ELSE 0 END AS rank_ppb
+       FROM nd2),{",".join(iters)}
+SELECT nd2.node AS doc_id, nd2.is_seed,
+       CAST(r.rank_ppb AS BIGINT) AS rank_ppb
+FROM nd2 JOIN r{PR_ITERATIONS} r USING (node)"""
+
+
+def sql_postings_size_plan() -> str:
+    """Twin of operators/invindex.postings_size_plan — the NAIVE flat
+    lag-gap form (one window per term); the Spark side's hierarchical
+    two-level gaps must reproduce it row-for-row."""
+    from crawler_spark.operators.invindex import INV_MIN_DF
+
+    return f"""
+WITH p AS (
+  SELECT DISTINCT term, CAST(doc_id AS BIGINT) AS doc_id
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  WHERE term <> ''
+),
+g AS (
+  SELECT term,
+         doc_id - coalesce(
+           lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), -1
+         ) AS gap
+  FROM p
+),
+b AS (SELECT term, CAST(length(bin(gap)) AS BIGINT) AS bits FROM g),
+s AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(2 * bits - 1) AS BIGINT) AS gamma_bits,
+         CAST(sum((bits + 6) // 7) AS BIGINT) AS varint_bytes
+  FROM b GROUP BY term
+)
+SELECT term, df, CAST(df * 8 AS BIGINT) AS raw_bytes, gamma_bits,
+       varint_bytes,
+       CAST(varint_bytes * 1000 // (df * 8) AS BIGINT) AS ratio_pm
+FROM s WHERE df >= {INV_MIN_DF}"""
+
+
+def sql_vocab_coverage() -> str:
+    """Twin of operators/termstats.vocab_coverage: ranked unigram Zipf
+    table, one conditional-sum aggregate, k rows out."""
+    from crawler_spark.operators.termstats import VOCAB_KS
+
+    csums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN r <= {k} THEN cnt ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in VOCAB_KS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+       least(CAST({k} AS BIGINT), v) AS vocab_terms,
+       c{k} AS covered_tokens, total AS total_tokens,
+       CAST(c{k} * 1000 // total AS BIGINT) AS coverage_pm
+FROM a"""
+        for k in VOCAB_KS
+    )
+    return f"""
+WITH c AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS r FROM c),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         {csums}
+  FROM r
+)
+{rows}"""
