@@ -1764,6 +1764,30 @@ def _q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(_t(spark, sf_dir, "documents"))
 
 
+def _q_opic_priority(spark, sf_dir):
+    """OPIC frontier importance (operators/linkgraph.opic, Abiteboul
+    et al. WWW 2003): cash diffusion + banked history over the
+    arithmetic link graph — the crawler-native, damping-free,
+    incrementally-updatable priority measure (Nutch/Heritrix lineage);
+    exact integer ppb loop, unrolled-CTE oracle."""
+    from crawler_spark.operators.linkgraph import opic_over_documents
+
+    return opic_over_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q_degree_histogram(spark, sf_dir):
+    """Web-graph power-law health check (operators/linkgraph.
+    degree_histogram, Broder et al. WWW 2000): node counts per log2
+    in-/out-degree bucket — a truncated tail is the crawl-trap /
+    mirror-dominance symptom. Two partial aggs per direction, ≤64
+    rows out."""
+    from crawler_spark.operators.linkgraph import (
+        degree_histogram_over_documents,
+    )
+
+    return degree_histogram_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1849,6 +1873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": _q_trustrank,
         "postings_size_plan": _q_postings_size_plan,
         "vocab_coverage": _q_vocab_coverage,
+        "opic_priority": _q_opic_priority,
+        "degree_histogram": _q_degree_histogram,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1933,6 +1959,8 @@ def oracle_sql() -> dict[str, str]:
         "trustrank": SG.sql_trustrank(),
         "postings_size_plan": SG.sql_postings_size_plan(),
         "vocab_coverage": SG.sql_vocab_coverage(),
+        "opic_priority": SG.sql_opic(),
+        "degree_histogram": SG.sql_degree_histogram(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

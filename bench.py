@@ -708,6 +708,7 @@ R3_OPS = [
     "bpe_pair_counts", "bpe_merge_round", "community_labels", "pq_encode",
     "data_card", "cluster_keep_best", "skipgram_pairs", "fetch_shard_plan",
     "trustrank", "postings_size_plan", "vocab_coverage",
+    "opic_priority", "degree_histogram",
 ]
 
 

@@ -394,3 +394,146 @@ def trustrank_over_documents(docs: DataFrame) -> DataFrame:
         )
     edges = synth_link_graph(docs, n)
     return trustrank(edges, nodes, seeds, n_seeds)
+
+
+OPIC_ITERATIONS = 4
+
+
+def opic(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    iterations: int = OPIC_ITERATIONS,
+) -> DataFrame:
+    """(node, out_deg, cash_ppb, history_ppb, importance_ppb) — OPIC,
+    the crawler-native importance measure (Abiteboul, Preda, Cobena,
+    "Adaptive on-line page importance computation", WWW 2003 — public):
+    every page starts with equal cash; each round a page spends its
+    cash — banked into its history — and the cash flows in equal parts
+    to its out-links. importance = history + cash converges to PageRank-
+    like mass but needs NO damping and is incrementally updatable as
+    the crawl discovers pages, which is why production frontiers
+    (Heritrix budgets, OPIC-style scoring in Nutch) use it for
+    priority. The synchronous fixed-iteration variant here is the
+    oracle-unrollable twin of the online algorithm.
+
+    Exact-integer contract (same as pagerank): cash in parts-per-
+    billion, contribution = cash div out_deg — truncation residue and
+    dangling cash evaporate instead of redistributing (documented
+    deviation from the paper's virtual node, shared by the oracle).
+
+    Scale shape: per iteration one src-keyed join + one partial-agg
+    groupBy(dst) + a map-side history add; lineage truncated per step
+    with localCheckpoint — identical plan economy to pagerank, one
+    extra long column."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    src_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
+    nodes_l = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+
+    init = PR_SCALE // n_nodes
+    state = nodes_l.select(
+        "node",
+        F.lit(init).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("history"),
+    )
+    for _ in range(iterations):
+        received = (
+            e.join(src_deg, "src")
+            .join(state.withColumnRenamed("node", "src").select("src", "cash"), "src")
+            .select("dst", F.expr("cash div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("r"))
+        )
+        state = (
+            state.join(received.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("r", F.lit(0)).cast("long").alias("cash"),
+                (F.col("history") + F.col("cash")).cast("long").alias("history"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        state.join(src_deg.withColumnRenamed("src", "node"), "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.col("cash").alias("cash_ppb"),
+            F.col("history").alias("history_ppb"),
+            (F.col("cash") + F.col("history")).cast("long").alias("importance_ppb"),
+        )
+    )
+
+
+def opic_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: OPIC over the arithmetic link graph. One bounded
+    driver scalar (node count)."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("out_deg"),
+            F.lit(0).cast("long").alias("cash_ppb"),
+            F.lit(0).cast("long").alias("history_ppb"),
+            F.lit(0).cast("long").alias("importance_ppb"),
+        )
+    return opic(synth_link_graph(docs, n), nodes, n)
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(direction, log2_bucket, n_nodes, min_deg, max_deg) — the
+    power-law degree-distribution check every web-graph study reports
+    (Broder et al., "Graph structure in the web", WWW 2000): node
+    counts per log2 degree bucket, for in- and out-degree. A healthy
+    crawl graph is heavy-tailed; a flat or truncated tail is the
+    classic symptom of a trap-dominated or mirror-dominated crawl.
+    log2 bucket = length(bin(deg)) − 1 — integer, no float log.
+
+    Scale shape: two partial aggs (degree per node, then nodes per
+    bucket) per direction; output ≤ 64 rows per direction."""
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    )
+    out = []
+    for direction, key in (("out", "src"), ("in", "dst")):
+        deg = e.groupBy(key).agg(F.count(F.lit(1)).alias("deg"))
+        out.append(
+            deg.groupBy(
+                (F.length(F.bin(F.col("deg"))) - 1).cast("int").alias("log2_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.min("deg").alias("min_deg"),
+                F.max("deg").alias("max_deg"),
+            )
+            .withColumn("direction", F.lit(direction))
+        )
+    return out[0].unionByName(out[1]).select(
+        "direction", "log2_bucket", "n_nodes", "min_deg", "max_deg"
+    )
+
+
+def degree_histogram_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: degree histogram of the arithmetic link graph."""
+    n = docs.count()
+    if n == 0:
+        from pyspark.sql import types as T
+
+        return docs.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("direction", T.StringType()),
+                    T.StructField("log2_bucket", T.IntegerType()),
+                    T.StructField("n_nodes", T.LongType()),
+                    T.StructField("min_deg", T.LongType()),
+                    T.StructField("max_deg", T.LongType()),
+                ]
+            ),
+        )
+    return degree_histogram(synth_link_graph(docs, n))

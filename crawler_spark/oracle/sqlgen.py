@@ -3220,3 +3220,56 @@ a AS (
   FROM r
 )
 {rows}"""
+
+
+def sql_opic() -> str:
+    """Twin of operators/linkgraph.opic: the synchronous fixed-iteration
+    cash/history loop unrolled as chained CTEs, exact integer div/sum."""
+    from crawler_spark.operators.linkgraph import OPIC_ITERATIONS, PR_SCALE
+
+    iters = []
+    for i in range(1, OPIC_ITERATIONS + 1):
+        iters.append(f"""
+s{i} AS (
+  SELECT nd.node,
+         CAST(coalesce(r.r, 0) AS BIGINT) AS cash,
+         CAST(p.history + p.cash AS BIGINT) AS history
+  FROM nd
+  JOIN s{i - 1} p USING (node)
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(p.cash // od.out_deg) AS BIGINT) AS r
+    FROM e JOIN od USING (src) JOIN s{i - 1} p ON p.node = e.src
+    GROUP BY e.dst
+  ) r USING (node)
+)""")
+    return f"""
+WITH {_link_edges_ctes()},
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+s0 AS (SELECT node, (SELECT {PR_SCALE} // n FROM nn) AS cash,
+              CAST(0 AS BIGINT) AS history
+       FROM nd),{",".join(iters)}
+SELECT nd.node AS doc_id,
+       CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+       s.cash AS cash_ppb, s.history AS history_ppb,
+       CAST(s.cash + s.history AS BIGINT) AS importance_ppb
+FROM nd
+LEFT JOIN od ON od.src = nd.node
+JOIN s{OPIC_ITERATIONS} s USING (node)"""
+
+
+def sql_degree_histogram() -> str:
+    """Twin of operators/linkgraph.degree_histogram over the synthetic
+    graph: log2 bucket via length(bin(deg)) - 1, both directions."""
+    per = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS direction,
+       CAST(length(bin(deg)) - 1 AS INT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY {key})
+GROUP BY 2"""
+        for name, key in (("out", "src"), ("in", "dst"))
+    )
+    return f"""
+WITH {_link_edges_ctes()}
+{per}"""
