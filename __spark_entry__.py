@@ -1788,6 +1788,36 @@ def _q_degree_histogram(spark, sf_dir):
     return degree_histogram_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_url_templates(spark, sf_dir):
+    """DUST-style URL path-template census (operators/urlmining.py —
+    Bar-Yossef et al. WWW 2007): normalize numeric ids / 16-hex session
+    tokens into placeholders, count URLs per template, flag parametric
+    templates above the trap threshold. One regexp projection + one
+    partial agg; oracle applies the identical normalization order."""
+    from crawler_spark.operators.urlmining import url_templates_over_documents
+
+    return url_templates_over_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Broder containment over LSH candidates (operators/textdedup.
+    containment_pairs — SEQUENCES 1997): asymmetric partial-copy
+    detection (quotes/syndication) beside symmetric Jaccard; exact
+    intersection only over candidate docs, integer per-mille."""
+    from crawler_spark.operators.textdedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _q_lang_temperature_mix(spark, sf_dir):
+    """Temperature-sampled multilingual budget (operators/mixing.
+    lang_temperature_allocation — XLM-R α=1/2): exact isqrt weights,
+    largest-remainder apportionment summing exactly to the budget."""
+    from crawler_spark.operators.mixing import lang_temperature_allocation
+
+    return lang_temperature_allocation(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1875,6 +1905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": _q_vocab_coverage,
         "opic_priority": _q_opic_priority,
         "degree_histogram": _q_degree_histogram,
+        "url_templates": _q_url_templates,
+        "containment_pairs": _q_containment_pairs,
+        "lang_temperature_mix": _q_lang_temperature_mix,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1961,6 +1994,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": SG.sql_vocab_coverage(),
         "opic_priority": SG.sql_opic(),
         "degree_histogram": SG.sql_degree_histogram(),
+        "url_templates": SG.sql_url_templates(),
+        "containment_pairs": SG.sql_containment_pairs(),
+        "lang_temperature_mix": SG.sql_lang_temperature(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -226,3 +226,77 @@ def mix_execute_over_documents(docs: DataFrame) -> DataFrame:
     stats = stratum_token_stats(docs)
     plan = mix_allocation(stats, synth_mix_targets(stats), MIX_BUDGET_TOKENS)
     return execute_mix(docs, plan, MIX_SEED)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sampled language budgets (multilingual mixing)
+# ---------------------------------------------------------------------------
+# Budget to allocate across languages (docs at bench SF; tokens in prod).
+TEMP_BUDGET = 10_000
+
+
+def _isqrt(n) -> F.Column:
+    """Exact integer sqrt of a non-negative bigint column, engine-portable:
+    float sqrt is correctly rounded in both engines, but the ±1-ulp edge
+    is erased by explicit integer correction, so no float ever decides
+    the result."""
+    s = F.floor(F.sqrt(n)).cast("long")
+    return (
+        F.when((s + 1) * (s + 1) <= n, s + 1)
+        .when(s * s > n, s - 1)
+        .otherwise(s)
+    )
+
+
+def lang_temperature_allocation(
+    docs: DataFrame, lang_col: str = "lang", budget: int = TEMP_BUDGET
+) -> DataFrame:
+    """(lang, n_docs, weight, budget_docs, prop_budget, boost_pm) — the
+    temperature-sampled multilingual budget every multilingual LM uses
+    (Conneau et al., "Unsupervised cross-lingual representation
+    learning at scale", ACL 2020 §3.1; mT5, Xue et al. 2021): sampling
+    probability q_l ∝ p_l^α flattens the head so low-resource languages
+    are not drowned. α = 1/2 here, so weight = isqrt(n_docs) — exact
+    integer, no pow/log.
+
+    The budget is divided by the largest-remainder (Hamilton) method:
+    base = budget·w div W per language, then the leftover units go to
+    the largest remainders (ties broken by lang asc) — deterministic,
+    sums exactly to the budget, no float apportionment drift.
+    ``prop_budget`` (the α=1 proportional share) and ``boost_pm``
+    (budget_docs ·1000 div prop_budget) report the flattening effect.
+
+    Scale shape: one corpus-wide partial agg (docs per lang); every
+    later stage runs over |languages| rows (dozens) — two 1-row
+    broadcast totals and one tiny unpartitioned window. The corpus is
+    touched exactly once."""
+    counts = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = counts.select("lang", "n_docs", _isqrt(F.col("n_docs")).alias("weight"))
+    totals = w.agg(
+        F.sum("weight").alias("_w_total"), F.sum("n_docs").alias("_n_total")
+    )
+    j = w.crossJoin(F.broadcast(totals)).select(
+        "lang", "n_docs", "weight", "_n_total",
+        F.expr(f"weight * {budget} div _w_total").alias("base"),
+        F.expr(f"(weight * {budget}) % _w_total").alias("rem"),
+    )
+    leftover = j.agg((F.lit(budget) - F.sum("base")).alias("_left"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+    out = (
+        j.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", rk)
+        .select(
+            "lang", "n_docs", "weight",
+            (F.col("base") + (F.col("_rk") <= F.col("_left")).cast("long"))
+            .alias("budget_docs"),
+            F.expr(f"n_docs * {budget} div _n_total").alias("prop_budget"),
+        )
+    )
+    return out.select(
+        "lang", "n_docs", "weight", "budget_docs", "prop_budget",
+        F.expr("budget_docs * 1000 div greatest(prop_budget, 1)").alias("boost_pm"),
+    )

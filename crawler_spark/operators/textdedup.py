@@ -359,6 +359,90 @@ def simhash_neardup_pairs(
     )
 
 
+# Containment classification threshold (per-mille). 800 ≈ Broder's
+# "roughly contained" bar; pairs whose LARGER containment clears it are
+# kept, then classified by which side(s) clear it.
+CONTAINMENT_PM = 800
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_N,
+    threshold_pm: int = CONTAINMENT_PM,
+    shingles: DataFrame | None = None,
+    max_bucket_docs: int | None = LSH_HOT_BUCKET_MAX,
+) -> DataFrame:
+    """Asymmetric near-dup analysis — Broder's CONTAINMENT beside the
+    resemblance the Jaccard pass measures ("On the resemblance and
+    containment of documents", SEQUENCES 1997, public):
+    c(A,B) = |S(A)∩S(B)| / |S(A)|. Resemblance misses partial copies —
+    a page quoting 90% of another scores low Jaccard when the quoting
+    page is much larger — but containment flags it; this is the
+    quote/boilerplate-wrapper/syndication detector a web corpus needs
+    beside symmetric dedup (a syndicated article inside a heavy portal
+    template is c≈1 one way, Jaccard≈0.3).
+
+    Output: (id_a, id_b, n_common, n_a, n_b, cont_a_pm, cont_b_pm,
+    relation) for LSH candidate pairs whose larger containment ≥
+    ``threshold_pm`` (integer per-mille, truncating div — engine
+    portable). relation: 'near_dup' (both sides clear), 'a_in_b',
+    'b_in_a'.
+
+    Scale shape: candidates come from the banded LSH index (linear
+    scan, hot buckets capped), and the exact intersection join runs
+    ONLY over posting lists semi-joined down to docs that appear in
+    some candidate pair — O(candidate docs' shingles), never the
+    corpus-wide quadratic join. The shingle relation is persisted once
+    and feeds the candidate generator, the semi-join, and the size
+    aggregate (same factoring as lsh_quality_report)."""
+    gd = shingles if shingles is not None else distinct_shingles(df, id_col, text_col, n)
+    gd = gd.persist()
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, n, shingles=gd, max_bucket_docs=max_bucket_docs
+    )
+    ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    gdc = gd.join(ids, id_col, "left_semi")
+    a = gdc.select(F.col(id_col).alias("id_a"), "ng")
+    b = gdc.select(F.col(id_col).alias("id_b"), "ng")
+    common = (
+        a.join(b, "ng")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cands, ["id_a", "id_b"], "left_semi")
+    )
+    sizes = gdc.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ng"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_ng").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_ng").alias("n_b"))
+    cont_a = F.expr("n_common * 1000 div n_a")
+    cont_b = F.expr("n_common * 1000 div n_b")
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_common", "n_a", "n_b",
+            cont_a.alias("cont_a_pm"), cont_b.alias("cont_b_pm"),
+        )
+        .where(F.greatest("cont_a_pm", "cont_b_pm") >= F.lit(threshold_pm))
+    )
+    thr = F.lit(threshold_pm)
+    relation = (
+        F.when((F.col("cont_a_pm") >= thr) & (F.col("cont_b_pm") >= thr), "near_dup")
+        .when(F.col("cont_a_pm") >= thr, "a_in_b")
+        .otherwise("b_in_a")
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", "cont_a_pm", "cont_b_pm",
+        relation.alias("relation"),
+    )
+
+
 def lsh_quality_report(
     df: DataFrame,
     id_col: str = "doc_id",

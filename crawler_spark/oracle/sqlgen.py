@@ -3273,3 +3273,121 @@ GROUP BY 2"""
     return f"""
 WITH {_link_edges_ctes()}
 {per}"""
+
+
+def sql_url_templates() -> str:
+    """Twin of operators/urlmining.url_templates over the synthesized
+    URL collection: identical normalization order (16+-hex runs first,
+    then digit runs) and the identical trap threshold."""
+    from crawler_spark.operators.urlmining import TRAP_MIN_URLS
+
+    return f"""
+WITH u AS (
+  SELECT 'https://site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '/product/' || CAST(doc_id AS VARCHAR) || '/view'
+      WHEN 1 THEN '/product/' || CAST(doc_id AS VARCHAR) || '/reviews'
+      WHEN 2 THEN '/session/' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)
+                  || '/cart'
+      WHEN 3 THEN '/blog/' || CAST(2020 + doc_id % 5 AS VARCHAR) || '/'
+                  || CAST(1 + doc_id % 12 AS VARCHAR) || '/post-'
+                  || CAST(doc_id AS VARCHAR)
+      ELSE '/about'
+    END AS url
+  FROM documents
+), p AS (
+  SELECT url,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(
+           regexp_replace(regexp_extract(url, '^https?://[^/]*(/.*)$', 1),
+                          '[0-9a-f]{{16,}}', '{{X}}', 'g'),
+           '[0-9]+', '{{N}}', 'g') AS template
+  FROM u
+), agg AS (
+  SELECT template,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         min(url) AS sample_url
+  FROM p GROUP BY template
+)
+SELECT template, n_urls, n_hosts, sample_url,
+       template LIKE '%{{%' AS is_parametric,
+       (template LIKE '%{{%' AND n_urls >= {TRAP_MIN_URLS}) AS trap_flag
+FROM agg"""
+
+
+def sql_containment_pairs() -> str:
+    """Twin of operators/textdedup.containment_pairs: LSH candidates
+    (hot buckets capped identically), exact shingle intersection only
+    over candidate docs, integer per-mille containment."""
+    from crawler_spark.operators.textdedup import CONTAINMENT_PM
+
+    t = CONTAINMENT_PM
+    return f"""{_minhash_sig_cte(NGRAM_N, MINHASH_HASHES)},
+{_pruned_band_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM btk a JOIN btk b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+ids AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand),
+gdc AS (SELECT gd.* FROM gd JOIN ids USING (doc_id)),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ng FROM gdc GROUP BY doc_id),
+com AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM gdc a JOIN gdc b ON a.ng = b.ng AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cc AS (SELECT com.* FROM com JOIN cand USING (id_a, id_b)),
+x AS (
+  SELECT id_a, id_b, n_common, sa.n_ng AS n_a, sb.n_ng AS n_b,
+         CAST(n_common * 1000 // sa.n_ng AS BIGINT) AS cont_a_pm,
+         CAST(n_common * 1000 // sb.n_ng AS BIGINT) AS cont_b_pm
+  FROM cc JOIN sz sa ON sa.doc_id = cc.id_a JOIN sz sb ON sb.doc_id = cc.id_b
+)
+SELECT id_a, id_b, n_common, n_a, n_b, cont_a_pm, cont_b_pm,
+       CASE WHEN cont_a_pm >= {t} AND cont_b_pm >= {t} THEN 'near_dup'
+            WHEN cont_a_pm >= {t} THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM x WHERE greatest(cont_a_pm, cont_b_pm) >= {t}"""
+
+
+def sql_lang_temperature() -> str:
+    """Twin of operators/mixing.lang_temperature_allocation: exact isqrt
+    (float sqrt + integer correction), largest-remainder apportionment."""
+    from crawler_spark.operators.mixing import TEMP_BUDGET
+
+    b = TEMP_BUDGET
+    return f"""
+WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs,
+         CAST(CASE WHEN (s + 1) * (s + 1) <= n_docs THEN s + 1
+                   WHEN s * s > n_docs THEN s - 1
+                   ELSE s END AS BIGINT) AS weight
+  FROM (SELECT lang, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS s FROM c)
+),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt,
+             CAST(sum(n_docs) AS BIGINT) AS nt FROM w),
+j AS (
+  SELECT lang, n_docs, weight, nt,
+         CAST(weight * {b} // wt AS BIGINT) AS base,
+         CAST((weight * {b}) % wt AS BIGINT) AS rem
+  FROM w, t
+),
+l AS (SELECT CAST({b} - sum(base) AS BIGINT) AS leftover FROM j),
+r AS (SELECT j.*, leftover,
+             row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+      FROM j, l),
+f AS (
+  SELECT lang, n_docs, weight,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS budget_docs,
+         CAST(n_docs * {b} // nt AS BIGINT) AS prop_budget
+  FROM r
+)
+SELECT lang, n_docs, weight, budget_docs, prop_budget,
+       CAST(budget_docs * 1000 // greatest(prop_budget, 1) AS BIGINT) AS boost_pm
+FROM f"""

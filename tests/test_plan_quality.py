@@ -56,6 +56,8 @@ ALLOWED_NESTED_LOOP = {
     "data_card",
     # fetch_shard_plan: 1-row grand-total-load broadcast cross
     "fetch_shard_plan",
+    # lang_temperature_mix: 1-row weight/doc-total + leftover crosses
+    "lang_temperature_mix",
 }
 
 
