@@ -1818,6 +1818,26 @@ def _q_lang_temperature_mix(spark, sf_dir):
     return lang_temperature_allocation(_t(spark, sf_dir, "documents"))
 
 
+def _q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.py — LBFS SOSP 2001):
+    h64(word) mod CDC_DIV boundaries sliced in ONE map stage of array
+    expressions, then corpus-wide chunk copy counts via one partial-agg
+    groupBy + equi-join (the exact-dedup plan shape at chunk grain)."""
+    from crawler_spark.operators.cdc import cdc_chunks
+
+    return cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
+def _q_spam_mass(spark, sf_dir):
+    """Relative spam mass (operators/linkgraph.spam_mass — Gyöngyi et
+    al. VLDB 2006): the PageRank fraction NOT backed by trust,
+    composing the pagerank and trustrank integer loops over one shared
+    checkpointed edge list; exact per-mille, clamped at 0."""
+    from crawler_spark.operators.linkgraph import spam_mass_over_documents
+
+    return spam_mass_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1908,6 +1928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": _q_url_templates,
         "containment_pairs": _q_containment_pairs,
         "lang_temperature_mix": _q_lang_temperature_mix,
+        "cdc_chunks": _q_cdc_chunks,
+        "spam_mass": _q_spam_mass,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -1997,6 +2019,8 @@ def oracle_sql() -> dict[str, str]:
         "url_templates": SG.sql_url_templates(),
         "containment_pairs": SG.sql_containment_pairs(),
         "lang_temperature_mix": SG.sql_lang_temperature(),
+        "cdc_chunks": SG.sql_cdc_chunks(),
+        "spam_mass": SG.sql_spam_mass(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

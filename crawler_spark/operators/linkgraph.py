@@ -537,3 +537,61 @@ def degree_histogram_over_documents(docs: DataFrame) -> DataFrame:
             ),
         )
     return degree_histogram(synth_link_graph(docs, n))
+
+
+# Relative spam mass above this per-mille flags the page (essentially
+# no trust reaches it despite its rank).
+SPAM_MASS_FLAG_PM = 990
+
+
+def spam_mass(pr: DataFrame, tr: DataFrame) -> DataFrame:
+    """(doc_id, rank_ppb, trust_ppb, is_seed, spam_mass_pm, spam_flag) —
+    relative spam mass (Gyöngyi, Berkhin, Garcia-Molina, Pedersen,
+    "Link spam detection based on mass estimation", VLDB 2006, public):
+    the fraction of a page's PageRank that does NOT come from trusted
+    sources, m(p) = (PR(p) − TR(p)) / PR(p). High-rank pages with high
+    spam mass are the link-farm beneficiaries TrustRank alone only
+    implicitly demotes — this makes the demotion signal explicit and
+    thresholdable for the frontier.
+
+    Exact integer: both inputs are ppb longs from the same-scale loops,
+    mass in truncating per-mille, clamped at 0 (TR can locally exceed
+    PR because trust teleports concentrate on seeds). PR > 0 always
+    (every node earns the teleport base).
+
+    Scale shape: one equi-join of two node-keyed tables — the two rank
+    loops dominate; this composition adds a single hash join."""
+    p = pr.select("doc_id", "rank_ppb")
+    t = tr.select(
+        "doc_id", F.col("is_seed"), F.col("rank_ppb").alias("trust_ppb")
+    )
+    j = p.join(t, "doc_id")
+    mass = F.expr("greatest(0L, rank_ppb - trust_ppb) * 1000 div rank_ppb")
+    return j.select(
+        "doc_id", "rank_ppb", "trust_ppb", "is_seed",
+        mass.alias("spam_mass_pm"),
+        (mass >= SPAM_MASS_FLAG_PM).alias("spam_flag"),
+    )
+
+
+def spam_mass_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: PageRank and TrustRank over the same synthetic
+    graph + seed rule, composed into per-page spam mass. The edge list
+    is checkpointed once and shared by both loops."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    seeds = nodes.where(F.col("node") % TR_SEED_MOD == 0)
+    n_seeds = seeds.count()
+    if n == 0 or n_seeds == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("rank_ppb"),
+            F.lit(0).cast("long").alias("trust_ppb"),
+            F.lit(False).alias("is_seed"),
+            F.lit(0).cast("long").alias("spam_mass_pm"),
+            F.lit(False).alias("spam_flag"),
+        )
+    edges = synth_link_graph(docs, n).localCheckpoint()
+    pr = pagerank(edges, nodes, n)
+    tr = trustrank(edges, nodes, seeds, n_seeds)
+    return spam_mass(pr, tr)

@@ -3391,3 +3391,119 @@ f AS (
 SELECT lang, n_docs, weight, budget_docs, prop_budget,
        CAST(budget_docs * 1000 // greatest(prop_budget, 1) AS BIGINT) AS boost_pm
 FROM f"""
+
+
+def sql_cdc_chunks() -> str:
+    """Twin of operators/cdc.cdc_chunks: identical boundary predicate
+    (h64(word) mod CDC_DIV == 0), identical slicing, corpus-wide copy
+    counts."""
+    from crawler_spark.operators.cdc import CDC_DIV
+
+    h_word = sql_h64("w[p]")
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+),
+b AS (
+  SELECT doc_id, w,
+         list_filter(list_transform(range(1, len(w) + 1),
+                       p -> CASE WHEN {h_word} % {CDC_DIV} = 0
+                                 THEN p ELSE 0 END),
+                     p -> p > 0) AS bp
+  FROM d
+),
+e2 AS (
+  SELECT doc_id, w,
+         CASE WHEN len(bp) > 0 AND bp[-1] = len(w)
+              THEN bp ELSE list_append(bp, len(w)) END AS ends
+  FROM b
+),
+c AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ends) + 1),
+           k -> struct_pack(
+                  chunk_idx := k - 1,
+                  cw := w[(CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END)
+                          :(ends[k])]))) AS ch
+  FROM e2
+),
+ck AS (
+  SELECT doc_id,
+         CAST(ch.chunk_idx AS INT) AS chunk_idx,
+         CAST(len(ch.cw) AS BIGINT) AS n_words,
+         {sql_h64("array_to_string(ch.cw, ' ')")} AS chunk_hash
+  FROM c
+),
+cp AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies
+       FROM ck GROUP BY chunk_hash)
+SELECT doc_id, chunk_idx, n_words, ck.chunk_hash, n_copies,
+       n_copies > 1 AS is_dup
+FROM ck JOIN cp USING (chunk_hash)"""
+
+
+def sql_spam_mass() -> str:
+    """Twin of operators/linkgraph.spam_mass: BOTH unrolled integer
+    rank loops (pagerank r0..rK over all nodes, trustrank t0..tK over
+    the seed teleport) in one WITH, composed by the mass formula."""
+    from crawler_spark.operators.linkgraph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERATIONS,
+        PR_SCALE,
+        SPAM_MASS_FLAG_PM,
+        TR_SEED_MOD,
+    )
+
+    pr_base = (
+        f"(SELECT (({PR_SCALE} // n) * {PR_DAMP_DEN - PR_DAMP_NUM})"
+        f" // {PR_DAMP_DEN} FROM nn)"
+    )
+    tr_base = (
+        f"CASE WHEN nd2.is_seed THEN ((({PR_SCALE} // (SELECT ns FROM sn)) "
+        f"* {PR_DAMP_DEN - PR_DAMP_NUM}) // {PR_DAMP_DEN}) ELSE 0 END"
+    )
+    iters = []
+    for i in range(1, PR_ITERATIONS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT nd.node,
+         CAST({pr_base} + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN}
+           AS BIGINT) AS rank_ppb
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank_ppb // od.out_deg) AS BIGINT) AS s
+    FROM e JOIN od USING (src) JOIN r{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+),
+t{i} AS (
+  SELECT nd2.node,
+         CAST({tr_base} + ({PR_DAMP_NUM} * coalesce(s.s, 0)) // {PR_DAMP_DEN}
+           AS BIGINT) AS rank_ppb
+  FROM nd2 LEFT JOIN (
+    SELECT e.dst AS node, CAST(sum(r.rank_ppb // od.out_deg) AS BIGINT) AS s
+    FROM e JOIN od USING (src) JOIN t{i - 1} r ON r.node = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+    return f"""
+WITH {_link_edges_ctes()},
+nd2 AS (SELECT node, node % {TR_SEED_MOD} = 0 AS is_seed FROM nd),
+sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM nd2 WHERE is_seed),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+r0 AS (SELECT node, (SELECT {PR_SCALE} // n FROM nn) AS rank_ppb FROM nd),
+t0 AS (SELECT node,
+              CASE WHEN is_seed THEN {PR_SCALE} // (SELECT ns FROM sn)
+                   ELSE 0 END AS rank_ppb
+       FROM nd2),{",".join(iters)}
+SELECT nd2.node AS doc_id,
+       CAST(r.rank_ppb AS BIGINT) AS rank_ppb,
+       CAST(t.rank_ppb AS BIGINT) AS trust_ppb,
+       nd2.is_seed,
+       CAST(greatest(0, r.rank_ppb - t.rank_ppb) * 1000 // r.rank_ppb
+         AS BIGINT) AS spam_mass_pm,
+       greatest(0, r.rank_ppb - t.rank_ppb) * 1000 // r.rank_ppb
+         >= {SPAM_MASS_FLAG_PM} AS spam_flag
+FROM nd2
+JOIN r{PR_ITERATIONS} r USING (node)
+JOIN t{PR_ITERATIONS} t USING (node)"""
