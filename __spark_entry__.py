@@ -1838,6 +1838,16 @@ def _q_spam_mass(spark, sf_dir):
     return spam_mass_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (operators/winnowing.py — Schleimer et
+    al. SIGMOD 2003 / MOSS): rightmost-min window selection with the
+    shared-passage detection guarantee MinHash lacks; one map stage of
+    array expressions + one partial-agg sharing count."""
+    from crawler_spark.operators.winnowing import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1930,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature_mix": _q_lang_temperature_mix,
         "cdc_chunks": _q_cdc_chunks,
         "spam_mass": _q_spam_mass,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2021,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_temperature_mix": SG.sql_lang_temperature(),
         "cdc_chunks": SG.sql_cdc_chunks(),
         "spam_mass": SG.sql_spam_mass(),
+        "winnow_fingerprints": SG.sql_winnow_fingerprints(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

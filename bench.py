@@ -709,6 +709,8 @@ R3_OPS = [
     "data_card", "cluster_keep_best", "skipgram_pairs", "fetch_shard_plan",
     "trustrank", "postings_size_plan", "vocab_coverage",
     "opic_priority", "degree_histogram",
+    "url_templates", "containment_pairs", "lang_temperature_mix",
+    "cdc_chunks", "spam_mass", "winnow_fingerprints",
 ]
 
 

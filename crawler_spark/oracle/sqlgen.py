@@ -3507,3 +3507,40 @@ SELECT nd2.node AS doc_id,
 FROM nd2
 JOIN r{PR_ITERATIONS} r USING (node)
 JOIN t{PR_ITERATIONS} t USING (node)"""
+
+
+def sql_winnow_fingerprints() -> str:
+    """Twin of operators/winnowing.winnow_fingerprints: identical
+    rightmost-min window rule, positions 1-based into the k-gram list,
+    cross-doc sharing counts."""
+    from crawler_spark.operators.winnowing import WINNOW_K, WINNOW_W
+
+    k, w = WINNOW_K, WINNOW_W
+    sub = f"hs[s:s + {w - 1}]"
+    sel = (
+        f"list_transform(range(1, greatest(len(hs) - {w} + 1, 1) + 1), "
+        f"s -> list_max(list_filter(list_transform("
+        f"range(1, len({sub}) + 1), "
+        f"t -> CASE WHEN ({sub})[t] = list_min({sub}) "
+        f"THEN s + t - 1 ELSE -1 END), x -> x > 0)))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS wrd FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(wrd) - {k} + 2),
+                        i -> array_to_string(wrd[i:i + {k - 1}], ' ')) AS ngs
+  FROM d WHERE len(wrd) >= {k}
+),
+h AS (SELECT doc_id, list_transform(ngs, ng -> {sql_h64('ng')}) AS hs
+      FROM g WHERE len(ngs) >= 1),
+s AS (
+  SELECT doc_id, hs, unnest({sel}) AS j FROM h
+),
+fp AS (
+  SELECT DISTINCT doc_id, CAST(j AS INT) AS pos, hs[j] AS fp FROM s
+),
+sh AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM fp GROUP BY fp)
+SELECT doc_id, pos, fp.fp, n_docs, n_docs > 1 AS shared
+FROM fp JOIN sh USING (fp)"""
