@@ -1848,6 +1848,26 @@ def _q_winnow_fingerprints(spark, sf_dir):
     return winnow_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _q_collocation_topk(spark, sf_dir):
+    """Integer-lift collocation mining (operators/cooccur.py — the
+    log-free PMI surrogate, Church & Hanks 1990 / SIGMOD 1997 lift):
+    top-k pairs by cnt·N·1000 div (ca·cb), exact int64, TakeOrdered
+    with a total-order tie-break."""
+    from crawler_spark.operators.cooccur import collocation_topk
+
+    return collocation_topk(_t(spark, sf_dir, "documents"))
+
+
+def _q_bowtie_regions(spark, sf_dir):
+    """Bow-tie decomposition (operators/linkgraph.bowtie_regions —
+    Broder et al. WWW 2000): forward/backward BFS fixpoints from the
+    max-degree pivot, core/in/out/other census — the crawl-health map
+    (tiny core + huge out = trap/mirror dominance)."""
+    from crawler_spark.operators.linkgraph import bowtie_over_documents
+
+    return bowtie_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1941,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _q_cdc_chunks,
         "spam_mass": _q_spam_mass,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "collocation_topk": _q_collocation_topk,
+        "bowtie_regions": _q_bowtie_regions,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2033,6 +2055,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": SG.sql_cdc_chunks(),
         "spam_mass": SG.sql_spam_mass(),
         "winnow_fingerprints": SG.sql_winnow_fingerprints(),
+        "collocation_topk": SG.sql_collocation_topk(),
+        "bowtie_regions": SG.sql_bowtie_regions(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

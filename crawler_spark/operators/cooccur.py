@@ -95,3 +95,59 @@ def skipgram_pairs(
         )
         .where(F.col("cnt") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining — integer-lift PMI surrogate over the pair counts
+# ---------------------------------------------------------------------------
+COLLOC_TOPK = 50
+
+
+def collocation_topk(
+    docs: DataFrame,
+    window: int = COOC_WINDOW,
+    min_count: int = COOC_MIN_COUNT,
+    k: int = COLLOC_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, cnt, ca, cb, lift_pm) — the ``k`` strongest collocations
+    by integer lift, the log-free PMI surrogate (association-rule
+    "interest", Brin, Motwani, Silverstein, SIGMOD 1997; PMI itself is
+    Church & Hanks 1990): lift = P(a,b)/(P(a)·P(b)) realized as
+    lift_pm = cnt · N · 1000 div (ca · cb) with N the corpus token
+    count — monotone in PMI at fixed N, so the top-k set is the PMI
+    top-k, with no float/log crossing an engine boundary.
+
+    Phrase mining is the consumer: collocations above a lift bar become
+    vocabulary merge candidates (word2vec's phrase pass, Mikolov et al.
+    2013 §4, uses exactly this score shape with a discount).
+
+    int64 bound: cnt ≤ W·N, so the numerator is < 2^63 while
+    N < ~5·10^7 tokens — far above bench SF; at corpus scale shift both
+    N and cnt down by the same power of two first (documented, same
+    discipline as mixing.TAIL_SHIFT).
+
+    Scale shape: pair counts and unigram counts are each ONE
+    partial-agg pass; the lift join touches only pairs that survived
+    the min-count prune; top-k is a TakeOrdered (no global sort
+    materialization) with the total order (lift desc, a, b)."""
+    pairs = skipgram_pairs(docs, window, min_count, text_col)
+    toks = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = toks.agg(F.sum("c").cast("long").alias("_n"))
+    j = (
+        pairs.join(toks.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
+        .join(toks.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")
+        .crossJoin(F.broadcast(n_total))
+    )
+    return (
+        j.select(
+            "a", "b", "cnt", "ca", "cb",
+            F.expr("cnt * _n * 1000 div (ca * cb)").alias("lift_pm"),
+        )
+        .orderBy(F.desc("lift_pm"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

@@ -595,3 +595,94 @@ def spam_mass_over_documents(docs: DataFrame) -> DataFrame:
     pr = pagerank(edges, nodes, n)
     tr = trustrank(edges, nodes, seeds, n_seeds)
     return spam_mass(pr, tr)
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie decomposition (Broder et al., "Graph structure in the web")
+# ---------------------------------------------------------------------------
+BOWTIE_MAX_ITER = 50
+
+
+def _reach_fixpoint(e: DataFrame, seed: DataFrame, frm: str, to: str) -> DataFrame:
+    """Nodes reachable from ``seed`` following edges ``frm``→``to``.
+    BFS fixpoint with the components.py lineage discipline
+    (localCheckpoint per round); the probe is one bounded count — the
+    visited set only grows, so count equality IS the fixpoint."""
+    visited = seed.select(F.col("node").cast("long").alias("node")).localCheckpoint()
+    n = visited.count()
+    for _ in range(BOWTIE_MAX_ITER):
+        new = e.join(
+            visited.withColumnRenamed("node", frm), frm
+        ).select(F.col(to).alias("node"))
+        visited = visited.unionByName(new).distinct().localCheckpoint()
+        n2 = visited.count()
+        if n2 == n:
+            break
+        n = n2
+    return visited
+
+
+def bowtie_regions(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(region, n_nodes, min_node) — the bow-tie map of the crawl graph
+    (Broder, Kumar, Maghoul, Raghavan, Rajagopalan, Stata, Tomkins,
+    Wiener, "Graph structure in the web", WWW 2000, public): pick the
+    highest-total-degree node as the pivot (deterministic: degree desc,
+    node asc), compute its forward- and backward-reachable sets, and
+    classify every node — ``core`` (both: the pivot's SCC), ``in``
+    (reaches the core), ``out`` (reached from it), ``other`` (Broder's
+    tendrils/tubes/disconnected, merged — splitting those needs extra
+    passes a crawl health check doesn't buy from). A healthy broad
+    crawl shows a dominant core; a tiny core with a huge ``out`` is the
+    trap/mirror-dominance signature, and ``in`` mass is seed-list
+    reach the crawler hasn't exploited.
+
+    Scale shape: two BFS fixpoints (one equi-join + union-distinct per
+    round, lineage truncated, bounded-count probe) over the SAME
+    checkpointed edge list, then one label join + a ≤4-row partial agg.
+    """
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    nodes_l = nodes.select(F.col("node").cast("long").alias("node"))
+    odeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("_o"))
+    ideg = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("_i"))
+    deg = (
+        nodes_l.join(odeg, "node", "left")
+        .join(ideg, "node", "left")
+        .select(
+            "node",
+            (F.coalesce("_o", F.lit(0)) + F.coalesce("_i", F.lit(0))).alias("d"),
+        )
+    )
+    # one bounded 1-row scalar: the pivot (degree desc, node asc)
+    pivot = deg.orderBy(F.desc("d"), F.asc("node")).limit(1).collect()[0]["node"]
+    seed = nodes_l.where(F.col("node") == pivot)
+    fwd = _reach_fixpoint(e, seed, "src", "dst").withColumn("_f", F.lit(True))
+    bwd = _reach_fixpoint(e, seed, "dst", "src").withColumn("_b", F.lit(True))
+    region = (
+        F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), "core")
+        .when(F.col("_b").isNotNull(), "in")
+        .when(F.col("_f").isNotNull(), "out")
+        .otherwise("other")
+    )
+    return (
+        nodes_l.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select("node", region.alias("region"))
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node"))
+    )
+
+
+def bowtie_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: bow-tie map of the arithmetic link graph."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return nodes.select(
+            F.lit("other").alias("region"),
+            F.lit(0).cast("long").alias("n_nodes"),
+            F.col("node").alias("min_node"),
+        )
+    return bowtie_regions(synth_link_graph(docs, n), nodes)

@@ -3544,3 +3544,79 @@ sh AS (SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        FROM fp GROUP BY fp)
 SELECT doc_id, pos, fp.fp, n_docs, n_docs > 1 AS shared
 FROM fp JOIN sh USING (fp)"""
+
+
+def sql_collocation_topk() -> str:
+    """Twin of operators/cooccur.collocation_topk: identical pair CTE,
+    unigram counts, integer lift, (lift desc, a, b) top-k."""
+    from crawler_spark.operators.cooccur import (
+        COLLOC_TOPK,
+        COOC_MIN_COUNT,
+        COOC_W_SCALE,
+        COOC_WINDOW,
+    )
+
+    per_d = "\nUNION ALL\n".join(
+        f"""SELECT least(ws[i], ws[i + {d}]) AS a,
+       greatest(ws[i], ws[i + {d}]) AS b,
+       CAST({COOC_W_SCALE // d} AS BIGINT) AS w
+FROM w, unnest(generate_series(1, len(ws) - {d})) AS s(i)"""
+        for d in range(1, COOC_WINDOW + 1)
+    )
+    return f"""
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+p AS (
+{per_d}
+),
+pc AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(w) AS BIGINT) AS w_pm
+  FROM p GROUP BY a, b HAVING count(*) >= {COOC_MIN_COUNT}
+),
+tk AS (SELECT unnest(ws) AS tok FROM w),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY tok),
+nn2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tc)
+SELECT a, b, cnt, ta.c AS ca, tb.c AS cb,
+       CAST(cnt * (SELECT n FROM nn2) * 1000 // (ta.c * tb.c) AS BIGINT)
+         AS lift_pm
+FROM pc JOIN tc ta ON ta.tok = pc.a JOIN tc tb ON tb.tok = pc.b
+ORDER BY lift_pm DESC, a ASC, b ASC
+LIMIT {COLLOC_TOPK}"""
+
+
+def sql_bowtie_regions() -> str:
+    """Twin of operators/linkgraph.bowtie_regions over the synthetic
+    graph: same pivot rule (degree desc, node asc), recursive
+    reachability both ways, same region merge."""
+    ctes = _link_edges_ctes()
+    return f"""
+WITH RECURSIVE {ctes.lstrip()},
+odeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+ideg AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+deg AS (
+  SELECT nd.node, coalesce(o.d, 0) + coalesce(i.d, 0) AS d
+  FROM nd LEFT JOIN odeg o USING (node) LEFT JOIN ideg i USING (node)
+),
+pv AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1),
+fwd(node) AS (
+  SELECT node FROM pv
+  UNION
+  SELECT e.dst FROM e JOIN fwd ON fwd.node = e.src
+),
+bwd(node) AS (
+  SELECT node FROM pv
+  UNION
+  SELECT e.src FROM e JOIN bwd ON bwd.node = e.dst
+),
+r AS (
+  SELECT nd.node,
+         CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+              WHEN b.node IS NOT NULL THEN 'in'
+              WHEN f.node IS NOT NULL THEN 'out'
+              ELSE 'other' END AS region
+  FROM nd
+  LEFT JOIN fwd f ON f.node = nd.node
+  LEFT JOIN bwd b ON b.node = nd.node
+)
+SELECT region, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(node) AS BIGINT) AS min_node
+FROM r GROUP BY region"""

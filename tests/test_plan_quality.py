@@ -58,6 +58,8 @@ ALLOWED_NESTED_LOOP = {
     "fetch_shard_plan",
     # lang_temperature_mix: 1-row weight/doc-total + leftover crosses
     "lang_temperature_mix",
+    # collocation_topk: 1-row corpus-token-total broadcast cross
+    "collocation_topk",
 }
 
 
