@@ -1868,6 +1868,28 @@ def _q_bowtie_regions(spark, sf_dir):
     return bowtie_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_triangle_counts(spark, sf_dir):
+    """Per-node triangle census + clustering coefficient (operators/
+    linkgraph.triangle_counts — Suri & Vassilvitskii WWW 2011):
+    (degree, id)-ordered edge orientation bounds wedge fan-out at
+    O(√m) per node, so a mega-hub never creates the 'last reducer';
+    near-clique neighborhoods are the link-farm density signal."""
+    from crawler_spark.operators.linkgraph import triangles_over_documents
+
+    return triangles_over_documents(_t(spark, sf_dir, "documents"))
+
+
+def _q_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (operators/termstats.
+    heaps_curve): new-type counts per corpus-prefix bucket via one
+    min-bucket partial agg; a linearly-rising tail is the
+    id-pollution symptom. Windows over ≤ HEAPS_BUCKETS rows."""
+    from crawler_spark.operators.termstats import heaps_curve
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_curve(d, d.count())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1963,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "collocation_topk": _q_collocation_topk,
         "bowtie_regions": _q_bowtie_regions,
+        "triangle_counts": _q_triangle_counts,
+        "heaps_curve": _q_heaps_curve,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2057,6 +2081,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": SG.sql_winnow_fingerprints(),
         "collocation_topk": SG.sql_collocation_topk(),
         "bowtie_regions": SG.sql_bowtie_regions(),
+        "triangle_counts": SG.sql_triangle_counts(),
+        "heaps_curve": SG.sql_heaps_curve(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -711,7 +711,7 @@ R3_OPS = [
     "opic_priority", "degree_histogram",
     "url_templates", "containment_pairs", "lang_temperature_mix",
     "cdc_chunks", "spam_mass", "winnow_fingerprints",
-    "collocation_topk", "bowtie_regions",
+    "collocation_topk", "bowtie_regions", "triangle_counts", "heaps_curve",
 ]
 
 

@@ -686,3 +686,118 @@ def bowtie_over_documents(docs: DataFrame) -> DataFrame:
             F.col("node").alias("min_node"),
         )
     return bowtie_regions(synth_link_graph(docs, n), nodes)
+
+
+def triangle_counts(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(node, deg, n_tri, clustering_pm) — exact per-node triangle
+    counts and local clustering coefficient over the UNDIRECTED version
+    of the crawl graph (Suri & Vassilvitskii, "Counting triangles and
+    the curse of the last reducer", WWW 2011, public — the paper is
+    literally about the skew this implementation kills): every edge is
+    oriented from the (degree, id)-smaller endpoint to the larger, so
+    wedge generation fans out per-node by ORIENTED out-degree, which is
+    O(√m) for every node no matter how large its raw degree — a
+    10^7-degree hub generates no 10^14-wedge task. Triangles close via
+    one equi-semi-join of wedges against oriented edges.
+
+    clustering_pm = 2000·n_tri div (deg·(deg−1)) (integer per-mille;
+    0 for deg < 2) — the link-farm / template-cluster density signal:
+    organic web neighborhoods are sparse, farms are near-cliques.
+
+    Scale shape: one distinct (undirected edges), one degree agg, the
+    orientation map join, one wedge self-join on the oriented source
+    (bounded fan-out by construction), one closing equi-join, then a
+    3-way explode + partial-agg count per node."""
+    ue = (
+        edges.select(
+            F.col(edges.columns[0]).cast("long").alias("a"),
+            F.col(edges.columns[1]).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        ue.select(F.col("u").alias("node"))
+        .unionByName(ue.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient from (deg, id)-smaller to larger — acyclic total order
+    oe = (
+        ue.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("o")
+        )
+        .select(F.col("o.s").alias("s"), F.col("o.t").alias("t"))
+        .localCheckpoint()
+    )
+    w1 = oe.select(F.col("s"), F.col("t").alias("x"))
+    w2 = oe.select(F.col("s"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "s").where(F.col("x") < F.col("y"))
+    # the closing edge (x, y) is oriented one way or the other; the
+    # undirected edge table answers both with one canonical key
+    tri = wedges.join(
+        ue.select(F.col("u").alias("x"), F.col("v").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select(F.explode(F.array("s", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    nodes_l = nodes.select(F.col("node").cast("long").alias("node"))
+    out = (
+        nodes_l.join(deg, "node", "left")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )
+    return out.select(
+        "node", "deg", "n_tri",
+        F.expr(
+            "CASE WHEN deg >= 2 THEN 2000 * n_tri div (deg * (deg - 1)) "
+            "ELSE 0 END"
+        ).alias("clustering_pm"),
+    )
+
+
+def triangles_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: triangle census of the arithmetic link graph
+    AUGMENTED with ring edges i→i+1 and i→i+2 (mod n) — the arithmetic
+    generator alone is nearly triangle-free, so the ring plants ~n
+    closed wedges and the census exercises every stage non-trivially
+    (the oracle mirrors the union)."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("deg"),
+            F.lit(0).cast("long").alias("n_tri"),
+            F.lit(0).cast("long").alias("clustering_pm"),
+        )
+    ring = nodes.select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("node") + 1) % n, (F.col("node") + 2) % n
+            )
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    edges = synth_link_graph(docs, n).unionByName(ring).distinct()
+    return triangle_counts(edges, nodes).withColumnRenamed("node", "doc_id")

@@ -212,3 +212,61 @@ def vocab_coverage(docs: DataFrame, ks: tuple = VOCAB_KS) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth curve
+# ---------------------------------------------------------------------------
+HEAPS_BUCKETS = 20
+
+
+def heaps_curve(docs: DataFrame, n_docs: int, buckets: int = HEAPS_BUCKETS) -> DataFrame:
+    """(bucket, n_tokens, cum_tokens, new_words, cum_vocab) — the
+    vocabulary-growth curve V(N) over a deterministic corpus prefix
+    order (doc_id ascending, split into ``buckets`` equal-width
+    slices). Heaps' law (Heaps 1978; Herdan 1960, public) predicts
+    V(N) ≈ K·N^β with β ≈ 0.4–0.6 for natural text; the measured curve
+    is the tokenizer-planning companion to the Zipf-side
+    ``vocab_coverage`` — it answers "how fast does the open vocabulary
+    still grow at the corpus tail", i.e. whether more crawl keeps
+    buying new types, and a curve that keeps rising LINEARLY is the
+    classic symptom of an id-/hash-polluted corpus (session tokens
+    inflating the vocabulary).
+
+    Exact integers throughout: a word's contribution to ``new_words``
+    lands in the bucket of its FIRST occurrence (min bucket per word —
+    one partial agg), cumulative sums run over ≤ ``buckets`` rows.
+
+    Scale shape: one explode + two partial aggs over the corpus
+    (per-bucket token counts; min-bucket per word), then windows over
+    ``buckets`` rows only."""
+    # ceil in non-negative-int form — identical under truncating AND
+    # flooring integer division, so the SQL twin cannot drift
+    width = max(1, (n_docs + buckets - 1) // buckets)
+    toks = docs.select(
+        F.expr(f"CAST(doc_id AS BIGINT) div {width}").alias("bucket"),
+        F.explode(F.split(F.col("text"), " ")).alias("w"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    first_seen = toks.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    new_words = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_words, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(cum).cast("long").alias("cum_tokens"),
+            "new_words",
+            F.sum("new_words").over(cum).cast("long").alias("cum_vocab"),
+        )
+    )

@@ -3620,3 +3620,92 @@ r AS (
 SELECT region, CAST(count(*) AS BIGINT) AS n_nodes,
        CAST(min(node) AS BIGINT) AS min_node
 FROM r GROUP BY region"""
+
+
+def sql_triangle_counts() -> str:
+    """Twin of operators/linkgraph.triangle_counts over the synthetic
+    graph: identical (degree, id) orientation, wedge join, closing
+    semi-join, and per-mille clustering coefficient."""
+    return f"""
+WITH {_link_edges_ctes()},
+ring AS (
+  SELECT node AS src, (node + k) % (SELECT n FROM nn) AS dst
+  FROM nd, unnest([1, 2]) AS t(k)
+  WHERE node <> (node + k) % (SELECT n FROM nn)
+),
+e2 AS (SELECT src, dst FROM e UNION SELECT src, dst FROM ring),
+ue AS (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e2 GROUP BY 1, 2
+),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM ue UNION ALL SELECT v FROM ue
+  ) GROUP BY node
+),
+oe AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN u ELSE v END AS s,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+              THEN v ELSE u END AS t
+  FROM ue
+  JOIN deg du ON du.node = ue.u
+  JOIN deg dv ON dv.node = ue.v
+),
+tri AS (
+  SELECT a.s AS s, a.t AS x, b.t AS y
+  FROM oe a JOIN oe b ON a.s = b.s AND a.t < b.t
+  WHERE EXISTS (SELECT 1 FROM ue WHERE ue.u = a.t AND ue.v = b.t)
+),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT s AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+)
+SELECT nd.node AS doc_id,
+       CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+       CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN coalesce(deg.deg, 0) >= 2
+                 THEN 2000 * coalesce(pn.n_tri, 0)
+                      // (deg.deg * (deg.deg - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_pm
+FROM nd LEFT JOIN deg USING (node) LEFT JOIN pn USING (node)"""
+
+
+def sql_heaps_curve() -> str:
+    """Twin of operators/termstats.heaps_curve: same ceil bucket width
+    from the corpus doc count, min-bucket first occurrence, bounded
+    cumulative windows."""
+    from crawler_spark.operators.termstats import HEAPS_BUCKETS
+
+    b = HEAPS_BUCKETS
+    return f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+wd AS (SELECT CAST(greatest(1, ((SELECT n FROM nn) + {b - 1}) // {b})
+         AS BIGINT) AS width),
+toks AS (
+  SELECT CAST(doc_id // (SELECT width FROM wd) AS BIGINT) AS bucket,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+       FROM toks GROUP BY bucket),
+fs AS (SELECT w, CAST(min(bucket) AS BIGINT) AS bucket FROM toks GROUP BY w),
+nw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_words
+       FROM fs GROUP BY bucket),
+j AS (
+  SELECT pb.bucket, pb.n_tokens,
+         CAST(coalesce(nw.new_words, 0) AS BIGINT) AS new_words
+  FROM pb LEFT JOIN nw USING (bucket)
+)
+SELECT bucket, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       new_words,
+       CAST(sum(new_words) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM j"""
