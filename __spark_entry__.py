@@ -1890,6 +1890,16 @@ def _q_heaps_curve(spark, sf_dir):
     return heaps_curve(d, d.count())
 
 
+def _q_hyperanf(spark, sf_dir):
+    """HyperANF neighborhood function (operators/linkgraph.hyperanf —
+    Boldi, Rosa & Vigna WWW 2011): per-node portable-HLL counters
+    max-merged one join+agg per radius; NF(t) is the crawl's t-hop
+    reach profile and its plateau the effective diameter."""
+    from crawler_spark.operators.linkgraph import hyperanf_over_documents
+
+    return hyperanf_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -1987,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_regions": _q_bowtie_regions,
         "triangle_counts": _q_triangle_counts,
         "heaps_curve": _q_heaps_curve,
+        "hyperanf": _q_hyperanf,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2083,6 +2094,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_regions": SG.sql_bowtie_regions(),
         "triangle_counts": SG.sql_triangle_counts(),
         "heaps_curve": SG.sql_heaps_curve(),
+        "hyperanf": SG.sql_hyperanf(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -801,3 +801,88 @@ def triangles_over_documents(docs: DataFrame) -> DataFrame:
     ).where(F.col("src") != F.col("dst"))
     edges = synth_link_graph(docs, n).unionByName(ring).distinct()
     return triangle_counts(edges, nodes).withColumnRenamed("node", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# HyperANF — the neighborhood function / effective-diameter estimator
+# ---------------------------------------------------------------------------
+ANF_ROUNDS = 3
+
+
+def hyperanf(
+    edges: DataFrame, nodes: DataFrame, n_nodes: int, rounds: int = ANF_ROUNDS
+) -> DataFrame:
+    """(t, nf_est, pairs_reached_pm) — the neighborhood function
+    NF(t) = Σ_v |B_t(v)| estimated by per-node HyperLogLog counters
+    (Boldi, Rosa, Vigna, "HyperANF: approximating the neighbourhood
+    function of very large graphs on a budget", WWW 2011, public —
+    the method behind the Facebook "four degrees of separation"
+    measurement). Exact per-node balls need O(n²) state; HyperANF
+    keeps m registers per node and one round per radius:
+    B_t(v) = B_{t-1}(v) ∪ ⋃_{v→w} B_{t-1}(w), which on register
+    tables is ONE equi-join + ONE max partial-agg per round. The
+    NF curve is the crawl's reach profile — how much of the web a
+    t-hop frontier expansion can touch — and the t where it plateaus
+    is the effective diameter.
+
+    Registers reuse the engine-wide portable HLL (operators/hll.py:
+    md5-prefix hash, bin()-rank, integer harmonic fold, precomputed
+    linear-counting table), so every value is exact int64 and the
+    DuckDB twin is row-identical. m = HLL_M (256) here for oracle
+    reuse; production HyperANF runs m = 16–64 per node (the paper's
+    "budget") — one constant, same plan.
+
+    Scale shape: register table ≤ n·m rows, lineage truncated per
+    round (localCheckpoint); the join fans out |E|·m rows per round
+    — the documented HyperANF cost — and the max-merge collapses it
+    map-side before the shuffle. pairs_reached_pm = NF(t)·1000 div n²
+    (the fraction of all ordered pairs within distance t)."""
+    from crawler_spark.operators.hll import hll_estimate, hll_registers
+
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    keyed = nodes.select(
+        F.col("node").cast("long").alias("grp"),
+        F.col("node").cast("string").alias("value"),
+    )
+    regs = hll_registers(keyed, "grp", "value").localCheckpoint()
+    denom = n_nodes * n_nodes
+
+    def _nf(t: int, r: DataFrame) -> DataFrame:
+        return (
+            hll_estimate(r)
+            .agg(F.sum("est").cast("long").alias("nf_est"))
+            .select(
+                F.lit(t).cast("int").alias("t"),
+                "nf_est",
+                F.expr(f"nf_est * 1000 div {denom}").alias("pairs_reached_pm"),
+            )
+        )
+
+    out = _nf(0, regs)
+    for t in range(1, rounds + 1):
+        nbr = e.join(regs.withColumnRenamed("grp", "dst"), "dst").select(
+            F.col("src").alias("grp"), "bucket", "rho"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(_nf(t, regs))
+    return out
+
+
+def hyperanf_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: neighborhood function of the arithmetic link
+    graph. One bounded driver scalar (node count)."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return docs.sparkSession.createDataFrame(
+            [], "t int, nf_est long, pairs_reached_pm long"
+        )
+    return hyperanf(synth_link_graph(docs, n), nodes, n)

@@ -3709,3 +3709,74 @@ SELECT bucket, n_tokens,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          AS cum_vocab
 FROM j"""
+
+
+def sql_hyperanf() -> str:
+    """Twin of operators/linkgraph.hyperanf over the synthetic graph:
+    per-node HLL register tables (identical portable-HLL arithmetic to
+    sql_hll_distinct) propagated through unrolled max-merge rounds,
+    each round's neighborhood function as one sum."""
+    from crawler_spark.operators.hll import (
+        HLL_ALPHA_PM,
+        HLL_M,
+        HLL_RHO_CAP,
+        LC_RAW_MAX,
+        LC_TABLE,
+    )
+    from crawler_spark.operators.linkgraph import ANF_ROUNDS
+
+    m, cap = HLL_M, HLL_RHO_CAP
+    lc = "[" + ", ".join(str(x) for x in LC_TABLE) + "]"
+
+    def fold(reg: str, t: int) -> str:
+        return f"""
+s{t} AS (SELECT grp,
+             CAST(sum(CAST(1 AS BIGINT) << ({cap} - rho)) AS BIGINT) AS sp,
+             CAST(count(*) AS BIGINT) AS present
+      FROM {reg} GROUP BY grp),
+raw{t} AS (SELECT grp, {m} - present AS zeros,
+               (CAST({HLL_ALPHA_PM} AS BIGINT) * {m} * {m}
+                * (CAST(1 AS BIGINT) << {cap}))
+               // (1000 * (sp + ({m} - present)
+                                * (CAST(1 AS BIGINT) << {cap}))) AS raw
+        FROM s{t}),
+est{t} AS (SELECT grp,
+               CASE WHEN zeros > 0 AND raw <= {LC_RAW_MAX}
+                    THEN CAST(({lc})[zeros] AS BIGINT)
+                    ELSE raw END AS est
+        FROM raw{t}),
+nf{t} AS (SELECT CAST({t} AS INT) AS t,
+                 CAST(sum(est) AS BIGINT) AS nf_est
+          FROM est{t})"""
+
+    parts = [fold("reg0", 0)]
+    for t in range(1, ANF_ROUNDS + 1):
+        parts.append(f"""
+reg{t} AS (
+  SELECT grp, bucket, max(rho) AS rho FROM (
+    SELECT grp, bucket, rho FROM reg{t - 1}
+    UNION ALL
+    SELECT e.src AS grp, r.bucket, r.rho
+    FROM e JOIN reg{t - 1} r ON r.grp = e.dst
+  ) GROUP BY grp, bucket
+)""")
+        parts.append(fold(f"reg{t}", t))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT t, nf_est FROM nf{t}" for t in range(ANF_ROUNDS + 1)
+    )
+    return f"""
+WITH {_link_edges_ctes()},
+h0 AS (SELECT node AS grp,
+              {sql_h64("'hll:' || CAST(node AS VARCHAR)")} AS h
+       FROM nd),
+reg0 AS (
+  SELECT grp, h % {m} AS bucket,
+         LEAST(CASE WHEN h // {m} = 0 THEN 53
+                    ELSE 53 - length(bin(h // {m})) END, {cap}) AS rho
+  FROM h0 GROUP BY 1, 2, 3
+),{",".join(parts)}
+SELECT t, nf_est,
+       CAST(nf_est * 1000
+            // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS BIGINT)
+         AS pairs_reached_pm
+FROM ({unions})"""
