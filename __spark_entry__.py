@@ -1959,13 +1959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_quality": _q_hashed_quality,
         "hll_distinct": _q_hll_distinct,
         "bucketed_join": _q_bucketed_join,
-        # NOTE for the next rotation: everything from here DOWN to the
-        # "driver-green in rounds 1-3" marker sits at positions 51+ —
-        # outside the driver's ~50-query CORRECTNESS window this round
-        # (the 50 slots above belong to the round-3 backlog per
-        # VERDICT r3 item 1). All are green on the local DuckDB gate
-        # (tools/check_oracle.py, sf0.01); rotate them to the FRONT of
-        # this dict next round so they earn driver-oracle rows.
+        # NOTE for the round-5 rotation: the 32 queries from here DOWN
+        # to the "driver-green in rounds 1-3" marker sit at positions
+        # 51+ — outside the driver's ~50-query CORRECTNESS window this
+        # round (the 50 slots above belong to the round-3 backlog per
+        # VERDICT r3 item 1, exactly filling the window). All 32 are
+        # green on the local DuckDB gate (tools/check_oracle.py,
+        # sf0.01); rotate them to the FRONT of this dict in round 5 so
+        # they earn driver-oracle rows (32 < 50 — room remains for
+        # round-5 additions inside the same window).
         "inverted_index": _q_inverted_index,
         "bm25_topk": _q_bm25_topk,
         "priority_sample": _q_priority_sample,
