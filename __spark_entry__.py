@@ -1900,6 +1900,17 @@ def _q_hyperanf(spark, sf_dir):
     return hyperanf_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_dedup_cascade(spark, sf_dir):
+    """The full C4/RefinedWeb/FineWeb dedup cascade composed end-to-end
+    (operators/cascade.py): exact (hash, first-wins) → MinHash-LSH
+    clustering over survivors → keep-best-quality per cluster, with
+    the per-stage survivor ledger. Input re-adds every 25th doc as a
+    planted byte-duplicate so the exact stage provably fires."""
+    from crawler_spark.operators.cascade import cascade_input, dedup_cascade
+
+    return dedup_cascade(cascade_input(_t(spark, sf_dir, "documents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -2000,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangle_counts,
         "heaps_curve": _q_heaps_curve,
         "hyperanf": _q_hyperanf,
+        "dedup_cascade": _q_dedup_cascade,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2097,6 +2109,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": SG.sql_triangle_counts(),
         "heaps_curve": SG.sql_heaps_curve(),
         "hyperanf": SG.sql_hyperanf(),
+        "dedup_cascade": SG.sql_dedup_cascade(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

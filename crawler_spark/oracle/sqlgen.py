@@ -205,11 +205,12 @@ FROM btk a JOIN btk b
  AND a.doc_id < b.doc_id"""
 
 
-def _cluster_label_ctes() -> str:
+def _cluster_label_ctes(src: str = "documents") -> str:
     """Everything through lab/sz: recursive min-reachability cluster
     labels over the MinHash-LSH candidate graph — shared by the
-    dedup_clusters and dupe_census oracles."""
-    sig_cte = _minhash_sig_cte(NGRAM_N, MINHASH_HASHES).replace(
+    dedup_clusters, dupe_census, keep-best and cascade oracles.
+    ``src`` names the (doc_id, text) relation to cluster."""
+    sig_cte = _minhash_sig_cte(NGRAM_N, MINHASH_HASHES, src=src).replace(
         "WITH ", "WITH RECURSIVE ", 1
     )
     return f"""{sig_cte},
@@ -230,7 +231,7 @@ reach(u, lbl) AS (
 comp AS (SELECT u, min(lbl) AS cluster_id FROM reach GROUP BY u),
 lab AS (
   SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+  FROM {src} d LEFT JOIN comp c ON c.u = d.doc_id
 ),
 sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
        FROM lab GROUP BY cluster_id)"""
@@ -3780,3 +3781,61 @@ SELECT t, nf_est,
             // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS BIGINT)
          AS pairs_reached_pm
 FROM ({unions})"""
+
+
+def sql_dedup_cascade() -> str:
+    """Twin of operators/cascade.dedup_cascade: exact-survivor set,
+    the shared recursive cluster labels over it (src='d1'), the
+    keep-best rule from sql_cluster_keep_best re-scoped to d1, and the
+    three-stage survivor ledger."""
+    from crawler_spark.operators.cascade import DUP_MOD, DUP_OFFSET
+
+    stop = " + ".join(_occ(w) for w in STOPWORDS)
+    ctes = _cluster_label_ctes(src="d1")
+    d1 = f"""raw0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + {DUP_OFFSET} AS BIGINT), text FROM documents
+  WHERE doc_id % {DUP_MOD} = 0
+),
+d1 AS (
+  SELECT d.doc_id, d.text FROM raw0 d
+  JOIN (SELECT min(doc_id) AS doc_id FROM raw0 GROUP BY md5(text)) k
+    USING (doc_id)
+)"""
+    assert ctes.startswith("\nWITH RECURSIVE ")
+    ctes = ctes.replace("WITH RECURSIVE ", f"WITH RECURSIVE {d1},\n", 1)
+    return f"""{ctes},
+qf AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         ({stop}) AS n_stop
+  FROM d1
+),
+q AS (
+  SELECT doc_id,
+         CAST(least(n_words * 4, 400)
+              + least(CAST(floor(n_stop * 2000 / n_words) AS BIGINT), 400)
+              + least(CAST(floor(
+                  CAST(floor((n_chars - n_words + 1) * 100 / n_words)
+                       AS BIGINT) / 4) AS BIGINT), 200) AS BIGINT)
+           AS quality_pm
+  FROM qf
+),
+rk AS (
+  SELECT l.doc_id, row_number() OVER (
+           PARTITION BY l.cluster_id
+           ORDER BY q.quality_pm DESC, l.doc_id ASC) AS rn
+  FROM lab l JOIN q USING (doc_id)
+),
+d2 AS (SELECT d1.* FROM d1 JOIN rk USING (doc_id) WHERE rk.rn = 1)
+SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM raw0
+UNION ALL
+SELECT 'exact', CAST(count(*) AS BIGINT),
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM d1
+UNION ALL
+SELECT 'neardup_keep_best', CAST(count(*) AS BIGINT),
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM d2"""
