@@ -46,6 +46,22 @@ PR_ITERATIONS = 5
 PR_SCALE = 1_000_000_000  # total rank mass, parts-per-billion
 PR_DAMP_NUM = 85  # damping d = 0.85 as an exact rational
 PR_DAMP_DEN = 100
+# Integer rank needs resolution: with init = SCALE div n, a graph with
+# n close to (or above) SCALE truncates every node's mass toward 0 and
+# the loop silently computes garbage. Guarded fail-fast below; at the
+# 10^10-node tier raise PR_SCALE (int64 headroom allows up to ~1e17:
+# the damping multiply 85 * SCALE must stay under 2^63).
+RANK_MIN_RESOLUTION = 1_000
+
+
+def _check_rank_resolution(n_nodes: int) -> None:
+    if n_nodes > 0 and PR_SCALE // n_nodes < RANK_MIN_RESOLUTION:
+        raise ValueError(
+            f"integer rank resolution too coarse: PR_SCALE div n = "
+            f"{PR_SCALE // n_nodes} < {RANK_MIN_RESOLUTION} at n = "
+            f"{n_nodes}; raise PR_SCALE (safe to ~1e17 in int64)"
+        )
+
 
 # Synthetic link-graph construction (test/bench scaffolding, not engine
 # code): doc u emits 1 + u % 3 out-links, the k-th to
@@ -89,6 +105,7 @@ def pagerank(
     # src side of every iteration: (src, out_deg) — static, checkpoint once
     src_deg = out.localCheckpoint()
 
+    _check_rank_resolution(n_nodes)
     init = PR_SCALE // n_nodes
     base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     # one checkpointed node list reused by every iteration — re-embedding
@@ -336,6 +353,7 @@ def trustrank(
     ).localCheckpoint()
     src_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
 
+    _check_rank_resolution(n_seeds)
     init = PR_SCALE // n_seeds
     base = (init * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     nodes_l = (
@@ -433,6 +451,7 @@ def opic(
     src_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).localCheckpoint()
     nodes_l = nodes.select(F.col("node").cast("long").alias("node")).localCheckpoint()
 
+    _check_rank_resolution(n_nodes)
     init = PR_SCALE // n_nodes
     state = nodes_l.select(
         "node",

@@ -122,3 +122,19 @@ def test_host_link_summary_topk_and_exclusions(spark):
     }
     # k=1: h1 keeps only its top target (h2, 2 links); h3 row cut
     assert got == {("h1", "h2"): (2, 1), ("h2", "h1"): (1, 1)}
+
+
+def test_rank_resolution_guard_fires():
+    """A graph with n near PR_SCALE would truncate every node's integer
+    mass to ~0 — the loops must fail fast, not compute garbage."""
+    import pytest as _pytest
+
+    from crawler_spark.operators.linkgraph import (
+        PR_SCALE,
+        RANK_MIN_RESOLUTION,
+        _check_rank_resolution,
+    )
+
+    _check_rank_resolution(PR_SCALE // RANK_MIN_RESOLUTION)  # boundary ok
+    with _pytest.raises(ValueError, match="raise PR_SCALE"):
+        _check_rank_resolution(PR_SCALE // RANK_MIN_RESOLUTION + 1)
