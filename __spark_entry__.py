@@ -1911,6 +1911,16 @@ def _q_dedup_cascade(spark, sf_dir):
     return dedup_cascade(cascade_input(_t(spark, sf_dir, "documents")))
 
 
+def _q_soft404(spark, sf_dir):
+    """Soft-404 detection (operators/soft404.py — Bar-Yossef et al.
+    WWW 2004 'Sic transit gloria telae'): error bodies served as 200,
+    flagged by marker mass × status cross-check — pure-JVM projection,
+    no shuffle; feeds corpus drop + frontier demotion."""
+    from crawler_spark.operators.soft404 import soft404_over_documents
+
+    return soft404_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
@@ -2012,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_curve": _q_heaps_curve,
         "hyperanf": _q_hyperanf,
         "dedup_cascade": _q_dedup_cascade,
+        "soft404_detect": _q_soft404,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2110,6 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_curve": SG.sql_heaps_curve(),
         "hyperanf": SG.sql_hyperanf(),
         "dedup_cascade": SG.sql_dedup_cascade(),
+        "soft404_detect": SG.sql_soft404(),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -712,7 +712,7 @@ R3_OPS = [
     "url_templates", "containment_pairs", "lang_temperature_mix",
     "cdc_chunks", "spam_mass", "winnow_fingerprints",
     "collocation_topk", "bowtie_regions", "triangle_counts", "heaps_curve",
-    "hyperanf", "dedup_cascade",
+    "hyperanf", "dedup_cascade", "soft404_detect",
 ]
 
 

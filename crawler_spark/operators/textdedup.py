@@ -396,7 +396,13 @@ def containment_pairs(
     some candidate pair — O(candidate docs' shingles), never the
     corpus-wide quadratic join. The shingle relation is persisted once
     and feeds the candidate generator, the semi-join, and the size
-    aggregate (same factoring as lsh_quality_report)."""
+    aggregate (same factoring as lsh_quality_report). Dedicated
+    set-containment-join algorithms (LCJoin, Deng et al. ICDE 2019,
+    public — prefix-filter list crosscutting) beat the LSH-prefilter
+    shape when EXACT containment over all pairs is required; this
+    operator trades their exactness for the banded index the corpus
+    already maintains (a recall-bounded, incremental-friendly choice
+    documented with the LSH cap)."""
     gd = shingles if shingles is not None else distinct_shingles(df, id_col, text_col, n)
     gd = gd.persist()
     cands = minhash_lsh_pairs(

@@ -3839,3 +3839,33 @@ SELECT 'exact', CAST(count(*) AS BIGINT),
 UNION ALL
 SELECT 'neardup_keep_best', CAST(count(*) AS BIGINT),
        CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM d2"""
+
+
+def sql_soft404() -> str:
+    """Twin of operators/soft404.soft404_over_documents: identical page
+    synthesis, replace-length marker counting, verdict CASE."""
+    from crawler_spark.operators.soft404 import (
+        SOFT404_MARKERS,
+        SOFT404_MIN_MASS,
+    )
+
+    mass = " + ".join(_occ(w, text="text2") for w in SOFT404_MARKERS)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN 404 ELSE 200 END AS status,
+         CASE WHEN doc_id % 10 = 0
+              THEN 'error 404 page not found - the page does not exist ' || text
+              WHEN doc_id % 10 = 2
+              THEN 'content no longer available 404 ' || text
+              ELSE text END AS text2
+  FROM documents
+),
+mm AS (SELECT doc_id, CAST(status AS INT) AS status,
+              CAST({mass} AS BIGINT) AS marker_mass
+       FROM p)
+SELECT doc_id, status, marker_mass,
+       CASE WHEN status <> 200 THEN 'hard404'
+            WHEN marker_mass >= {SOFT404_MIN_MASS} THEN 'soft404'
+            ELSE 'ok' END AS verdict
+FROM mm"""
