@@ -812,6 +812,51 @@ def _q_fetch_timetable(spark, sf_dir):
     )
 
 
+def _q_politeness_equivalence(spark, sf_dir):
+    """The politeness budget↔multiset equivalence artifact (SURVEY §7
+    hard-part 5; VERDICT r4 item 8): the reference's blocking token
+    bucket (rate=2.0/s, burst=5 — reference config.py:11-12, consumed
+    by src/utils/rate_limiter.py:11-78) maps to the per-round budget
+    B = burst + rate·round_duration; the admitted MULTISET per round
+    is then closed-form — URL with per-host rank r (priority desc,
+    surt asc) is admitted in round ceil(r/B). The Spark side proves
+    it by actually running the iterative admit loop (admit_per_host,
+    deferred feeding the next round; round 1 pins the skew-salting
+    phase on so the two-phase top-k path is exercised) for 4 rounds;
+    the oracle derives every round arithmetically from the rank.
+    round_admitted = 0 marks URLs still deferred after 4 rounds."""
+    from crawler_spark.config import PolitenessConfig
+    from crawler_spark.operators.politeness import admit_per_host
+
+    # 7 hosts x ~doc_count/7 URLs: several rounds deep at B = 9
+    bcfg = PolitenessConfig(round_duration_s=2.0)  # 5 + 2.0*2.0 = 9
+    b = bcfg.budget_per_round
+    d = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") % 7).cast("string")
+    cands = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("site"), g, F.lit(".example.com")).alias("host"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+        F.concat(
+            F.lit("com,example,site"), g, F.lit(")/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+    )
+    remaining = cands
+    parts = []
+    for rnd in range(1, 5):
+        res = admit_per_host(remaining, budget=b, force_salting=(rnd == 1))
+        parts.append(
+            res.admitted.withColumn("round_admitted", F.lit(rnd).cast("int"))
+        )
+        remaining = res.deferred
+    parts.append(remaining.withColumn("round_admitted", F.lit(0).cast("int")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "host", "round_admitted")
+
+
 def _q_robots_wildcard(spark, sf_dir):
     """RFC 9309 wildcard robots gate (functions/robots_parse.py
     parse_robots_rules + operators/robots.gate_rfc9309): bodies carry a
@@ -1400,10 +1445,22 @@ def _q_quantize_embeddings(spark, sf_dir):
     """int8 scalar quantization of the embedding corpus
     (operators/similarity.py): one exploded partial-agg pass for the
     per-dim scales, broadcast 64-double scale vector, single zip_with
-    map pass — the 4x storage shrink before ANN at 10^9 vectors."""
+    map pass — the 4x storage shrink before ANN at 10^9 vectors.
+
+    Driver projection is scalar-only (VERDICT r4 item 2): the harness
+    canonicalizer cannot sort an array<int> column, so the qvec array
+    is emitted as a CSV string here; the raw array form stays under
+    pytest (tests/test_quantize.py)."""
     from crawler_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.concat_ws(",", F.transform("qvec", lambda v: v.cast("string"))).alias(
+            "qvec_csv"
+        ),
+        "l1",
+    )
 
 
 def _q_trap_detect(spark, sf_dir):
@@ -1678,6 +1735,61 @@ def _q_cuckoo_unseen(spark, sf_dir):
     return unseen.groupBy("source").agg(F.count(F.lit(1)).alias("n_unseen"))
 
 
+def _q_cuckoo_retract_cycle(spark, sf_dir):
+    """Full cuckoo-filter lifecycle as one driver-oracled cycle
+    (VERDICT r4 item 7): build → probe → retract (delete_cuckoo) →
+    re-probe → re-admit (update_cuckoo) → probe again. At every phase
+    the probe+exact-confirm unseen set must equal the plain anti-join
+    against that phase's exact seen table — a delete can never
+    resurrect a URL and a re-admission can never drop one, regardless
+    of fingerprint collisions or bucket overflow-to-NULL. Output is
+    one row per source with the three phase counts (scalar columns),
+    so the driver canonicalizer can hash it."""
+    from crawler_spark.operators.cuckoo import (
+        build_cuckoo,
+        delete_cuckoo,
+        filter_unseen_cuckoo,
+        update_cuckoo,
+    )
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+    )
+    ever = urls.where(F.col("doc_id") % 3 != 0)
+    retracted = ever.where(F.col("doc_id") % 9 == 1)
+    readmit = retracted.where(F.col("doc_id") % 18 == 1)
+    f_built = build_cuckoo(ever.select("surt"))
+    f_retracted = delete_cuckoo(f_built, retracted.select("surt"))
+    f_readmit = update_cuckoo(f_retracted, readmit.select("surt"))
+    seen_built = ever
+    seen_retracted = ever.where(F.col("doc_id") % 9 != 1)
+    seen_readmit = seen_retracted.unionByName(readmit)
+
+    def phase_counts(filters, seen, out_col):
+        u = filter_unseen_cuckoo(urls, seen.select("surt"), filters)
+        return u.groupBy("source").agg(F.count(F.lit(1)).alias(out_col))
+
+    sources = urls.select("source").distinct()
+    out = sources
+    for filters, seen, col in (
+        (f_built, seen_built, "n_unseen_built"),
+        (f_retracted, seen_retracted, "n_unseen_retracted"),
+        (f_readmit, seen_readmit, "n_unseen_readmitted"),
+    ):
+        out = out.join(phase_counts(filters, seen, col), "source", "left")
+    return out.select(
+        "source",
+        F.coalesce("n_unseen_built", F.lit(0)).alias("n_unseen_built"),
+        F.coalesce("n_unseen_retracted", F.lit(0)).alias("n_unseen_retracted"),
+        F.coalesce("n_unseen_readmitted", F.lit(0)).alias("n_unseen_readmitted"),
+    )
+
+
 def _q_cluster_keep_best(spark, sf_dir):
     """Quality-aware canonical selection (operators/components.
     cluster_keep_best): within every MinHash-LSH duplicate cluster keep
@@ -1924,71 +2036,14 @@ def _q_soft404(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering note: the driver's per-round CORRECTNESS window samples
-        # queries in registry order (~50/round). Queries that have never
-        # received a driver-oracle row are listed FIRST so round 4 covers
-        # them; the long-green round-1/2 set (3 rounds of driver evidence)
-        # follows. Union across rounds = full registry.
-        "sink_roundtrip": _q_sink_roundtrip,
-        "robots_rules": _q_robots_rules,
-        "span_dedup": _q_span_dedup,
-        "linkgraph_pagerank": _q_linkgraph_pagerank,
-        "sequence_pack": _q_sequence_pack,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "recrawl_report": _q_recrawl_report,
-        "fetch_sessions": _q_sessionize,
-        "lm_familiarity": _q_lm_familiarity,
-        "snapshot_asof": _q_snapshot_asof,
-        "cdx_closest": _q_cdx_closest,
-        "cdx_collapse_digest": _q_cdx_collapse_digest,
-        "cdx_collapse_time": _q_cdx_collapse_time,
-        "crawl_rollup": _q_crawl_rollup,
-        "latency_quantiles": _q_latency_quantiles,
-        "recrawl_schedule": _q_recrawl_schedule,
-        "interval_match": _q_interval_match,
-        "url_filter": _q_url_filter,
-        "host_reputation": _q_host_reputation,
-        "incremental_neardups": _q_incremental_neardups,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "trap_detect": _q_trap_detect,
-        "host_link_summary": _q_host_link_summary,
-        "cuckoo_unseen": _q_cuckoo_unseen,
-        "anchor_terms": _q_anchor_terms,
-        "registrable_rollup": _q_registrable_rollup,
-        "redirect_rollup": _q_redirect_rollup,
-        "sitemap_parse": _q_sitemap_parse,
-        "mix_plan": _q_mix_plan,
-        "semdedup": _q_semdedup,
-        "revisit_rollup": _q_revisit_rollup,
-        "sitemap_recrawl": _q_sitemap_recrawl,
-        "shuffle_layout": _q_shuffle_layout,
-        "main_text": _q_main_text,
-        "dupe_census": _q_dupe_census,
-        "politeness_audit": _q_politeness_audit,
-        "mix_execute": _q_mix_execute,
-        "robots_sitemaps": _q_robots_sitemaps,
-        "robots_wildcard": _q_robots_wildcard,
-        "fetch_timetable": _q_fetch_timetable,
-        "dsir_select": _q_dsir_select,
-        "outlink_extract": _q_outlink_extract,
-        "mirror_detect": _q_mirror_detect,
-        "nofollow_outlinks": _q_nofollow_outlinks,
-        "canonical_cluster": _q_canonical_cluster,
-        # round-4 additions (never driver-checked yet — keep inside the
-        # ~50-query window, after the round-3 backlog)
-        "ngram_lm_counts": _q_ngram_lm_counts,
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
-        "hashed_quality": _q_hashed_quality,
-        "hll_distinct": _q_hll_distinct,
-        "bucketed_join": _q_bucketed_join,
-        # NOTE for the round-5 rotation: the 32 queries from here DOWN
-        # to the "driver-green in rounds 1-3" marker sit at positions
-        # 51+ — outside the driver's ~50-query CORRECTNESS window this
-        # round (the 50 slots above belong to the round-3 backlog per
-        # VERDICT r3 item 1, exactly filling the window). All 32 are
-        # green on the local DuckDB gate (tools/check_oracle.py,
-        # sf0.01); rotate them to the FRONT of this dict in round 5 so
-        # they earn driver-oracle rows (32 < 50 — room remains for
-        # round-5 additions inside the same window).
+        # queries in registry order (~50/round). Round-5 rotation (VERDICT
+        # r4 item 1): the 34 round-4 additions that have never received a
+        # driver-oracle row (all local-gate green) now lead, followed by
+        # quantize_embeddings (driver-errored in r4 on its array<int>
+        # column — projection fixed to scalar columns, needs its first
+        # green row) and the new round-5 queries. The driver-green r4 set
+        # follows, then the long-green round-1/2 set. Union across rounds
+        # = full registry.
         "inverted_index": _q_inverted_index,
         "bm25_topk": _q_bm25_topk,
         "priority_sample": _q_priority_sample,
@@ -2023,6 +2078,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf": _q_hyperanf,
         "dedup_cascade": _q_dedup_cascade,
         "soft404_detect": _q_soft404,
+        "quantize_embeddings": _q_quantize_embeddings,
+        # --- round-5 additions (driver-unchecked, keep inside window) ---
+        "cuckoo_retract_cycle": _q_cuckoo_retract_cycle,
+        "politeness_equivalence": _q_politeness_equivalence,
+        # --- driver-green in round 4 (CORRECTNESS_r04.json) ---
+        "sink_roundtrip": _q_sink_roundtrip,
+        "robots_rules": _q_robots_rules,
+        "span_dedup": _q_span_dedup,
+        "linkgraph_pagerank": _q_linkgraph_pagerank,
+        "sequence_pack": _q_sequence_pack,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "recrawl_report": _q_recrawl_report,
+        "fetch_sessions": _q_sessionize,
+        "lm_familiarity": _q_lm_familiarity,
+        "snapshot_asof": _q_snapshot_asof,
+        "cdx_closest": _q_cdx_closest,
+        "cdx_collapse_digest": _q_cdx_collapse_digest,
+        "cdx_collapse_time": _q_cdx_collapse_time,
+        "crawl_rollup": _q_crawl_rollup,
+        "latency_quantiles": _q_latency_quantiles,
+        "recrawl_schedule": _q_recrawl_schedule,
+        "interval_match": _q_interval_match,
+        "url_filter": _q_url_filter,
+        "host_reputation": _q_host_reputation,
+        "incremental_neardups": _q_incremental_neardups,
+        "trap_detect": _q_trap_detect,
+        "host_link_summary": _q_host_link_summary,
+        "cuckoo_unseen": _q_cuckoo_unseen,
+        "anchor_terms": _q_anchor_terms,
+        "registrable_rollup": _q_registrable_rollup,
+        "redirect_rollup": _q_redirect_rollup,
+        "sitemap_parse": _q_sitemap_parse,
+        "mix_plan": _q_mix_plan,
+        "semdedup": _q_semdedup,
+        "revisit_rollup": _q_revisit_rollup,
+        "sitemap_recrawl": _q_sitemap_recrawl,
+        "shuffle_layout": _q_shuffle_layout,
+        "main_text": _q_main_text,
+        "dupe_census": _q_dupe_census,
+        "politeness_audit": _q_politeness_audit,
+        "mix_execute": _q_mix_execute,
+        "robots_sitemaps": _q_robots_sitemaps,
+        "robots_wildcard": _q_robots_wildcard,
+        "fetch_timetable": _q_fetch_timetable,
+        "dsir_select": _q_dsir_select,
+        "outlink_extract": _q_outlink_extract,
+        "mirror_detect": _q_mirror_detect,
+        "nofollow_outlinks": _q_nofollow_outlinks,
+        "canonical_cluster": _q_canonical_cluster,
+        # round-4 additions (never driver-checked yet — keep inside the
+        # ~50-query window, after the round-3 backlog)
+        "ngram_lm_counts": _q_ngram_lm_counts,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "hashed_quality": _q_hashed_quality,
+        "hll_distinct": _q_hll_distinct,
+        "bucketed_join": _q_bucketed_join,
         # --- driver-green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) ---
         "cdx_latest_index": _q_cdx_latest_index,  # driver-green r2
         "corpus_classify": _q_corpus_classify,  # driver-green r2
@@ -2261,6 +2372,8 @@ GROUP BY source""",
         "trap_detect": SG.sql_trap_detect(),
         "host_link_summary": SG.sql_host_link_summary(),
         "cuckoo_unseen": SG.sql_cuckoo_unseen(),
+        "cuckoo_retract_cycle": SG.sql_cuckoo_retract_cycle(),
+        "politeness_equivalence": SG.sql_politeness_equivalence(),
         "anchor_terms": SG.sql_anchor_terms(),
         "registrable_rollup": SG.sql_registrable_rollup(),
         "redirect_rollup": SG.sql_redirect_rollup(),

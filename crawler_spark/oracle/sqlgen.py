@@ -1813,7 +1813,9 @@ GROUP BY nb.doc_id"""
 
 def sql_quantize_embeddings() -> str:
     """Twin of operators/similarity.quantize_embeddings — same per-dim
-    max-abs scales, same floor(x*127/m) double arithmetic."""
+    max-abs scales, same floor(x*127/m) double arithmetic. The qvec
+    array is emitted as a CSV string (array_to_string) because the
+    driver canonicalizer only sorts scalar columns (VERDICT r4 #2)."""
     from crawler_spark.operators.similarity import EMBED_DIM, QUANT_LEVELS
 
     return f"""
@@ -1833,7 +1835,8 @@ q AS (
                                 / ms[i]) AS INTEGER) END) AS qvec
   FROM embeddings CROSS JOIN mx
 )
-SELECT vec_id, qvec,
+SELECT vec_id,
+       array_to_string(qvec, ',') AS qvec_csv,
        CAST(list_aggregate(list_transform(qvec, x -> abs(x)), 'sum')
             AS BIGINT) AS l1
 FROM q"""
@@ -1946,6 +1949,57 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_unseen
 FROM documents
 WHERE doc_id % 3 = 0 OR doc_id % 9 = 1
 GROUP BY source"""
+
+
+def sql_cuckoo_retract_cycle() -> str:
+    """Twin of the cuckoo build→retract→re-admit lifecycle query: at
+    every phase the probe+exact-confirm unseen set must equal the plain
+    anti-join against that phase's exact seen table, so the oracle is
+    pure set algebra on the doc_id bands — built: unseen = %3==0;
+    retracted: plus the %9==1 band; re-admitted: minus the %18==1
+    half of it (i.e. plus only %18==10)."""
+    return """
+SELECT source,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT)
+         AS n_unseen_built,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 0 OR doc_id % 9 = 1)
+            AS BIGINT) AS n_unseen_retracted,
+       CAST(count(*) FILTER (WHERE doc_id % 3 = 0 OR doc_id % 18 = 10)
+            AS BIGINT) AS n_unseen_readmitted
+FROM documents
+GROUP BY source"""
+
+
+def sql_politeness_equivalence() -> str:
+    """Twin of the budget↔multiset equivalence artifact: the token
+    bucket's per-round admitted multiset is closed-form — a URL with
+    per-host rank r in (priority desc, surt asc) order is admitted in
+    round ceil(r/B), B = burst + rate·round_duration = 5 + 2.0·2.0 = 9
+    (reference config.py:11-12); 0 = still deferred after 4 rounds.
+    The Spark side runs the actual iterative admit loop."""
+    from crawler_spark.config import PolitenessConfig
+
+    b = PolitenessConfig(round_duration_s=2.0).budget_per_round
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         CAST(doc_id % 5 AS INTEGER) AS priority,
+         'com,example,site' || CAST(doc_id % 7 AS VARCHAR) || ')/p/'
+           || CAST(doc_id AS VARCHAR) AS surt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, host,
+         row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, surt ASC) AS rk
+  FROM c
+)
+SELECT doc_id, host,
+       CAST(CASE WHEN (rk + {b - 1}) // {b} <= 4
+                 THEN (rk + {b - 1}) // {b} ELSE 0 END AS INTEGER)
+         AS round_admitted
+FROM r"""
 
 
 def sql_anchor_terms() -> str:
