@@ -137,7 +137,25 @@ def collocation_topk(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_total = toks.agg(F.sum("c").cast("long").alias("_n"))
+    # Fail fast on the int64 bound instead of wrapping silently
+    # (non-ANSI Spark wraps; DuckDB would diverge) — same discipline as
+    # linkgraph._check_rank_resolution, but in-plan (assert_true on the
+    # 1-row total: zero extra jobs). cnt ≤ window·N, so the numerator
+    # cnt·N·1000 stays < 2^63 only while N ≤ sqrt(2^63/(1000·window));
+    # past that, apply the documented power-of-two down-shift to BOTH
+    # engines before calling.
+    n_max = int(((1 << 63) // (1000 * window)) ** 0.5)
+    guard = F.assert_true(
+        F.col("_n") <= F.lit(n_max),
+        F.lit(
+            f"collocation_topk: corpus token count exceeds the int64-safe "
+            f"bound {n_max} for window={window}; shift N and cnt down by "
+            f"the same power of two first (see docstring)"
+        ),
+    )
+    n_total = toks.agg(F.sum("c").cast("long").alias("_n")).select(
+        (F.col("_n") + F.coalesce(guard.cast("long"), F.lit(0))).alias("_n")
+    )
     j = (
         pairs.join(toks.select(F.col("tok").alias("a"), F.col("c").alias("ca")), "a")
         .join(toks.select(F.col("tok").alias("b"), F.col("c").alias("cb")), "b")

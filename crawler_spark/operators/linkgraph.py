@@ -626,7 +626,14 @@ def _reach_fixpoint(e: DataFrame, seed: DataFrame, frm: str, to: str) -> DataFra
     """Nodes reachable from ``seed`` following edges ``frm``→``to``.
     BFS fixpoint with the components.py lineage discipline
     (localCheckpoint per round); the probe is one bounded count — the
-    visited set only grows, so count equality IS the fixpoint."""
+    visited set only grows, so count equality IS the fixpoint.
+
+    Fail-fast: if the visited set is still growing after
+    BOWTIE_MAX_ITER rounds the fixpoint was NOT reached (graph
+    eccentricity from the pivot exceeds the cap) and a silent return
+    would under-compute reach and mislabel regions vs the unbounded
+    recursive-CTE oracle — raise instead, same discipline as
+    _check_rank_resolution."""
     visited = seed.select(F.col("node").cast("long").alias("node")).localCheckpoint()
     n = visited.count()
     for _ in range(BOWTIE_MAX_ITER):
@@ -636,9 +643,13 @@ def _reach_fixpoint(e: DataFrame, seed: DataFrame, frm: str, to: str) -> DataFra
         visited = visited.unionByName(new).distinct().localCheckpoint()
         n2 = visited.count()
         if n2 == n:
-            break
+            return visited
         n = n2
-    return visited
+    raise RuntimeError(
+        f"bowtie reach BFS did not converge within {BOWTIE_MAX_ITER} rounds "
+        f"(visited still grew to {n}); raise BOWTIE_MAX_ITER for graphs with "
+        f"eccentricity > {BOWTIE_MAX_ITER} from the pivot"
+    )
 
 
 def bowtie_regions(edges: DataFrame, nodes: DataFrame) -> DataFrame:

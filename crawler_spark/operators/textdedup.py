@@ -403,8 +403,14 @@ def containment_pairs(
     operator trades their exactness for the banded index the corpus
     already maintains (a recall-bounded, incremental-friendly choice
     documented with the LSH cap)."""
+    # Persist the posting list only when WE build it (a caller-supplied
+    # shingles frame keeps its caller-managed lifetime), and release it
+    # as soon as the bounded pair output is materialized below — the
+    # cache must not outlive the call (session-long executor leak).
+    own_shingles = shingles is None
     gd = shingles if shingles is not None else distinct_shingles(df, id_col, text_col, n)
-    gd = gd.persist()
+    if own_shingles:
+        gd = gd.persist()
     cands = minhash_lsh_pairs(
         df, id_col, text_col, n, shingles=gd, max_bucket_docs=max_bucket_docs
     )
@@ -443,10 +449,16 @@ def containment_pairs(
         .when(F.col("cont_a_pm") >= thr, "a_in_b")
         .otherwise("b_in_a")
     )
-    return out.select(
+    result = out.select(
         "id_a", "id_b", "n_common", "n_a", "n_b", "cont_a_pm", "cont_b_pm",
         relation.alias("relation"),
     )
+    if own_shingles:
+        # materialize the bounded pair set (LSH-capped, threshold-cut),
+        # then drop the posting-list cache — no session-long leak
+        result = result.localCheckpoint()
+        gd.unpersist()
+    return result
 
 
 def lsh_quality_report(
@@ -476,7 +488,7 @@ def lsh_quality_report(
         "id_a", "id_b", F.lit(1).alias("_c")
     )
     j = true_pairs.join(cands, ["id_a", "id_b"], "full")
-    return j.agg(
+    report = j.agg(
         F.count("_t").alias("n_true"),
         F.count("_c").alias("n_candidates"),
         F.count(F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)).alias(
@@ -491,3 +503,8 @@ def lsh_quality_report(
         F.expr("CASE WHEN n_true > 0 THEN n_hit * 1000 div n_true "
                "ELSE 0 END").alias("recall_pm"),
     )
+    # 1-row report: materialize it and release the posting-list cache
+    # (same lifetime rule as containment_pairs — no session-long leak)
+    report = report.localCheckpoint()
+    gd.unpersist()
+    return report

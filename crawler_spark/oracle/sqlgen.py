@@ -3354,7 +3354,13 @@ WITH u AS (
   SELECT url,
          regexp_extract(url, '^https?://([^/]+)', 1) AS host,
          regexp_replace(
-           regexp_replace(regexp_extract(url, '^https?://[^/]*(/.*)$', 1),
+           regexp_replace(
+             -- same optional-path regex + empty→'/' fallback as the
+             -- Spark side (urlmining.py): a path-less https://host URL
+             -- must template as '/', not ''
+             CASE WHEN regexp_extract(url, '^https?://[^/]*(/.*)?$', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url, '^https?://[^/]*(/.*)?$', 1) END,
                           '[0-9a-f]{{16,}}', '{{X}}', 'g'),
            '[0-9]+', '{{N}}', 'g') AS template
   FROM u
