@@ -713,6 +713,8 @@ R3_OPS = [
     "cdc_chunks", "spam_mass", "winnow_fingerprints",
     "collocation_topk", "bowtie_regions", "triangle_counts", "heaps_curve",
     "hyperanf", "dedup_cascade", "soft404_detect",
+    # round-5 additions
+    "cuckoo_retract_cycle", "politeness_equivalence",
 ]
 
 

@@ -131,21 +131,30 @@ def serpentine_shard_plan(
     host), walk shards 0..K-1 then K-1..0, repeat.
 
     Scale shape: one partial-agg per-host load rollup happens UPSTREAM
-    (the input here is already (host, load)); the rank is one global
-    window over |hosts| rows — bounded by host count (~10^8), not URL
-    count (~10^10), and the only global sort in the plan (documented,
-    same bound as fair_budget's level pass); the serpentine expression
-    and the final K-row rollup are pure map + partial agg."""
-    r = F.row_number().over(
-        Window.orderBy(F.desc(load_col), F.col(host_col))
-    ) - F.lit(1)
+    (the input here is already (host, load)); the rank over |hosts|
+    rows (~10^8 — bounded by host count, not the 10^10 URL count) is
+    DISTRIBUTED (operators/rankdist.distributed_rank: range exchange +
+    per-partition row_number + broadcast offsets) — a single
+    unpartitioned window task sorting 10^8 hosts would be a multi-GB
+    serialization point; the serpentine expression and the final K-row
+    rollup are pure map + partial agg."""
+    from crawler_spark.operators.rankdist import distributed_rank
+
+    ranked = distributed_rank(
+        hosts.select(
+            F.col(host_col), F.col(load_col).cast("long").alias("load")
+        ),
+        [F.desc("load"), F.col(host_col)],
+        "_r1",
+    )
+    r = F.col("_r1") - F.lit(1)
     pos = r % F.lit(shards)
     snake = F.when(
         (r / F.lit(shards)).cast("long") % 2 == 0, pos
     ).otherwise(F.lit(shards - 1) - pos)
-    assigned = hosts.select(
+    assigned = ranked.select(
         F.col(host_col),
-        F.col(load_col).cast("long").alias("load"),
+        F.col("load"),
         snake.cast("int").alias("shard"),
     )
     per_shard = assigned.groupBy("shard").agg(

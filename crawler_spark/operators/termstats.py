@@ -168,20 +168,24 @@ def vocab_coverage(docs: DataFrame, ks: tuple = VOCAB_KS) -> DataFrame:
     candidate vocab size k.
 
     Scale shape: unigram counts are one partial agg (Zipf head absorbed
-    map-side); the rank is one global window over |vocab| rows — vocab
-    is corpus-bounded (~10^7 distinct words at web scale), NOT token-
-    bounded, the same documented bound as tfidf's idf table; the per-k
-    coverage is ONE conditional-sum aggregate over the ranked vocab
-    (no per-k join, no second pass), unpivoted to k rows at the end.
-    Ties rank (cnt desc, word asc) — total and engine-portable."""
+    map-side); the rank is DISTRIBUTED (operators/rankdist.
+    distributed_rank: range exchange + per-partition row_number +
+    broadcast offsets) because web-scale vocab is NOT safely ~10^7 —
+    id-polluted text grows it to 10^8–10^9 types (this repo's own
+    heaps_curve exists to measure exactly that), far past what one
+    unpartitioned window task can sort; the per-k coverage is ONE
+    conditional-sum aggregate over the ranked vocab (no per-k join, no
+    second pass), unpivoted to k rows at the end. Ties rank
+    (cnt desc, word asc) — total and engine-portable."""
+    from crawler_spark.operators.rankdist import distributed_rank
+
     counts = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    r = F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("w")))
-    ranked = counts.withColumn("r", r)
+    ranked = distributed_rank(counts, [F.desc("cnt"), F.col("w")], "r")
     aggs = [
         F.count(F.lit(1)).alias("v"),
         F.sum("cnt").alias("total"),

@@ -63,6 +63,49 @@ ALLOWED_NESTED_LOOP = {
 }
 
 
+# Audited global (unpartitioned) windows — every entry is a documented
+# ≤K-row frame where K is a CONSTANT (not corpus-, host- or
+# vocab-bounded), so one window task is the right plan. Anything
+# data-bounded must go through operators/rankdist.distributed_rank
+# (vocab_coverage and fetch_shard_plan were converted in round 5).
+# The per-query justification lives next to each key.
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    # largest-remainder seat assignment ranks the per-LANGUAGE remainder
+    # table — |languages| rows (≤ a few hundred on the whole web)
+    "lang_temperature_mix": "window over the ≤|languages|-row remainder table",
+    # cumulative sums over the HEAPS_BUCKETS(=20)-row prefix curve
+    "heaps_curve": "window over the constant HEAPS_BUCKETS-row curve",
+}
+
+
+def _plan_lines(df) -> list[str]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue().splitlines()
+
+
+def _unpartitioned_windows(lines: list[str]) -> list[str]:
+    """Window plan nodes with only 2 top-level bracket groups —
+    [functions], [order] — i.e. no partition spec."""
+    out = []
+    for line in lines:
+        if "Window [" not in line:
+            continue
+        depth = 0
+        groups = 0
+        for ch in line:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups == 2:
+            out.append(line.strip()[:120])
+    return out
+
+
 @pytest.mark.spark
 def test_no_unplanned_nested_loop_joins(spark):
     import __spark_entry__ as E
@@ -70,18 +113,25 @@ def test_no_unplanned_nested_loop_joins(spark):
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     if not os.path.isdir(sf_dir):
         pytest.skip(f"testdata dir {sf_dir} not present")
-    violations = {}
+    nl_violations = {}
+    win_violations = {}
     for name, fn in E.queries().items():
         df = fn(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode="simple")
-        plan = buf.getvalue()
+        lines = _plan_lines(df)
+        plan = "\n".join(lines)
         hits = [
             k
             for k in ("BroadcastNestedLoopJoin", "CartesianProduct")
             if k in plan
         ]
         if hits and name not in ALLOWED_NESTED_LOOP:
-            violations[name] = hits
-    assert not violations, f"unplanned nested-loop joins: {violations}"
+            nl_violations[name] = hits
+        wins = _unpartitioned_windows(lines)
+        if wins and name not in ALLOWED_GLOBAL_WINDOW:
+            win_violations[name] = wins[0]
+    assert not nl_violations, f"unplanned nested-loop joins: {nl_violations}"
+    assert not win_violations, (
+        "unpartitioned (single-task) windows on scale-path queries — use "
+        f"operators/rankdist.distributed_rank or whitelist with a bounded-K "
+        f"justification: {win_violations}"
+    )
