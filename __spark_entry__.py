@@ -1790,6 +1790,68 @@ def _q_cuckoo_retract_cycle(spark, sf_dir):
     )
 
 
+def _q_cogroup_probe_unseen(spark, sf_dir):
+    """The beyond-broadcast probe path, driver-oracled (it was
+    pytest-only through round 4): at 10^10 seen keys the filter tables
+    (~190 GB of cuckoo slots / Bloom bits) cannot ship to every
+    executor, so candidates shuffle to their bucket and each bucket's
+    blob crosses the wire once per bucket, never once per row. This
+    query FORCES the cogrouped probe for BOTH filter forms —
+    ``probe_blooms`` through filter_unseen_pruned's ``probe=`` slot and
+    ``probe_cuckoo`` with the explicit maybe→exact-confirm join — and
+    each per-source unseen count must equal the plain anti-join set
+    algebra bit-exactly (correctness lives in the confirm join, never
+    in the filter)."""
+    from crawler_spark.operators.bloom import bucket_of, build_blooms, probe_blooms
+    from crawler_spark.operators.cuckoo import build_cuckoo, probe_cuckoo
+    from crawler_spark.operators.dedup import filter_unseen_pruned
+
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+    )
+    seen = urls.where(F.col("doc_id") % 4 != 0)
+    seen_b = seen.withColumn("bucket", bucket_of("surt"))
+    res = filter_unseen_pruned(
+        urls, seen_b, build_blooms(seen.select("surt")), probe=probe_blooms
+    )
+    bloom_counts = (
+        res.unseen.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unseen_bloom_cogroup"))
+        .localCheckpoint()
+    )
+    res.probed.unpersist()
+
+    probed = probe_cuckoo(urls, build_cuckoo(seen.select("surt")))
+    unseen_c = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen").unionByName(
+        probed.where(F.col("_maybe_seen"))
+        .drop("_maybe_seen")
+        .join(seen.select("surt"), "surt", "left_anti")
+    )
+    cuckoo_counts = unseen_c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unseen_cuckoo_cogroup")
+    )
+    return (
+        urls.select("source")
+        .distinct()
+        .join(bloom_counts, "source", "left")
+        .join(cuckoo_counts, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_unseen_bloom_cogroup", F.lit(0)).alias(
+                "n_unseen_bloom_cogroup"
+            ),
+            F.coalesce("n_unseen_cuckoo_cogroup", F.lit(0)).alias(
+                "n_unseen_cuckoo_cogroup"
+            ),
+        )
+    )
+
+
 def _q_cluster_keep_best(spark, sf_dir):
     """Quality-aware canonical selection (operators/components.
     cluster_keep_best): within every MinHash-LSH duplicate cluster keep
@@ -2082,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 additions (driver-unchecked, keep inside window) ---
         "cuckoo_retract_cycle": _q_cuckoo_retract_cycle,
         "politeness_equivalence": _q_politeness_equivalence,
+        "cogroup_probe_unseen": _q_cogroup_probe_unseen,
         # --- driver-green in round 4 (CORRECTNESS_r04.json) ---
         "sink_roundtrip": _q_sink_roundtrip,
         "robots_rules": _q_robots_rules,
@@ -2374,6 +2437,7 @@ GROUP BY source""",
         "cuckoo_unseen": SG.sql_cuckoo_unseen(),
         "cuckoo_retract_cycle": SG.sql_cuckoo_retract_cycle(),
         "politeness_equivalence": SG.sql_politeness_equivalence(),
+        "cogroup_probe_unseen": SG.sql_cogroup_probe_unseen(),
         "anchor_terms": SG.sql_anchor_terms(),
         "registrable_rollup": SG.sql_registrable_rollup(),
         "redirect_rollup": SG.sql_redirect_rollup(),

@@ -714,7 +714,7 @@ R3_OPS = [
     "collocation_topk", "bowtie_regions", "triangle_counts", "heaps_curve",
     "hyperanf", "dedup_cascade", "soft404_detect",
     # round-5 additions
-    "cuckoo_retract_cycle", "politeness_equivalence",
+    "cuckoo_retract_cycle", "politeness_equivalence", "cogroup_probe_unseen",
 ]
 
 

@@ -1970,6 +1970,21 @@ FROM documents
 GROUP BY source"""
 
 
+def sql_cogroup_probe_unseen() -> str:
+    """Twin of the forced-cogroup probe query: both filter forms'
+    probe+confirm paths must reproduce the plain anti-join, so the
+    oracle is the set algebra (unseen = the doc_id%4==0 band) for both
+    output columns."""
+    return """
+SELECT source,
+       CAST(count(*) FILTER (WHERE doc_id % 4 = 0) AS BIGINT)
+         AS n_unseen_bloom_cogroup,
+       CAST(count(*) FILTER (WHERE doc_id % 4 = 0) AS BIGINT)
+         AS n_unseen_cuckoo_cogroup
+FROM documents
+GROUP BY source"""
+
+
 def sql_politeness_equivalence() -> str:
     """Twin of the budget↔multiset equivalence artifact: the token
     bucket's per-round admitted multiset is closed-form — a URL with
