@@ -338,8 +338,11 @@ def run_bench(cpus: int, include_queries: bool = True) -> dict:
     # Headline reps: every timed section runs HEADLINE_REPS times and the
     # BEST is reported, with per-rep steal% alongside — single-shot numbers
     # on this co-tenanted box swung 70-115% between rounds with no code
-    # change (r1→r2), so one sample proves nothing.
-    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "1" if trace else "2"))
+    # change (r1→r2), so one sample proves nothing. Three reps (r5): the
+    # r4 regression was a co-tenant burst spanning BOTH reps of a section
+    # (5.4-8.3% steal); a third sample makes best-of survive a one-burst
+    # window at ~45 s extra wall.
+    reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "1" if trace else "3"))
     fast = _fast_tmp()
     conf = {"spark.local.dir": f"{fast}/spark-local"} if fast else {}
     if trace:
