@@ -1052,10 +1052,23 @@ def _q_inverted_index(spark, sf_dir):
     unique (term, doc) partial agg → exact df/cnt, posting-list head
     via a salted two-phase min-K so a stopword's ~corpus-sized doc set
     never funnels through one task — output byte-identical to the
-    direct min-K the DuckDB twin runs."""
+    direct min-K the DuckDB twin runs.
+
+    Driver projection is scalar-only (same rule as quantize_embeddings,
+    VERDICT r4 item 2): the harness canonicalizer cannot sort an
+    array<bigint> column, so postings_head is emitted as a CSV string;
+    the raw array form stays under pytest (tests/test_invindex.py)."""
     from crawler_spark.operators.invindex import inverted_index
 
-    return inverted_index(_t(spark, sf_dir, "documents"))
+    idx = inverted_index(_t(spark, sf_dir, "documents"))
+    return idx.select(
+        "term",
+        "df",
+        "cnt",
+        F.concat_ws(
+            ",", F.transform("postings_head", lambda d: d.cast("string"))
+        ).alias("postings_csv"),
+    )
 
 
 def _q_bm25_topk(spark, sf_dir):

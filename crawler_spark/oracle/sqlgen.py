@@ -2625,7 +2625,8 @@ r AS (SELECT term, doc_id,
       FROM td),
 head AS (SELECT term, list(doc_id ORDER BY doc_id) AS postings_head
          FROM r WHERE rn <= {INV_HEAD_K} GROUP BY term)
-SELECT term, df, cnt, postings_head
+SELECT term, df, cnt,
+       array_to_string(postings_head, ',') AS postings_csv
 FROM stats JOIN head USING (term)
 WHERE df >= {INV_MIN_DF}"""
 
