@@ -1803,6 +1803,18 @@ def _q_cuckoo_retract_cycle(spark, sf_dir):
     )
 
 
+def _q_salsa_scores(spark, sf_dir):
+    """Closed-form SALSA (operators/linkgraph.salsa — Lempel & Moran
+    WWW 2000): the TKC-resistant random-walk counterpart to HITS. No
+    score iteration at all: one bipartite connected-components run +
+    degree/component aggregates reproduce the stationary distribution
+    exactly (paper Prop. 2) in integer ppb — the link-farm-robust
+    authority tier beside `hits_scores`/`trustrank`."""
+    from crawler_spark.operators.linkgraph import salsa_over_documents
+
+    return salsa_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cogroup_probe_unseen(spark, sf_dir):
     """The beyond-broadcast probe path, driver-oracled (it was
     pytest-only through round 4): at 10^10 seen keys the filter tables
@@ -2158,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_retract_cycle": _q_cuckoo_retract_cycle,
         "politeness_equivalence": _q_politeness_equivalence,
         "cogroup_probe_unseen": _q_cogroup_probe_unseen,
+        "salsa_scores": _q_salsa_scores,
         # --- driver-green in round 4 (CORRECTNESS_r04.json) ---
         "sink_roundtrip": _q_sink_roundtrip,
         "robots_rules": _q_robots_rules,
@@ -2451,6 +2464,7 @@ GROUP BY source""",
         "cuckoo_retract_cycle": SG.sql_cuckoo_retract_cycle(),
         "politeness_equivalence": SG.sql_politeness_equivalence(),
         "cogroup_probe_unseen": SG.sql_cogroup_probe_unseen(),
+        "salsa_scores": SG.sql_salsa_scores(),
         "anchor_terms": SG.sql_anchor_terms(),
         "registrable_rollup": SG.sql_registrable_rollup(),
         "redirect_rollup": SG.sql_redirect_rollup(),

@@ -916,3 +916,133 @@ def hyperanf_over_documents(docs: DataFrame) -> DataFrame:
             [], "t int, nf_est long, pairs_reached_pm long"
         )
     return hyperanf(synth_link_graph(docs, n), nodes, n)
+
+
+# ---------------------------------------------------------------- SALSA --
+#
+# Lempel & Moran, "SALSA: the stochastic approach for link-structure
+# analysis" (WWW 2000 / TOIS 2001) — the random-walk counterpart to
+# HITS: authority weight is the stationary distribution of the
+# two-step walk dst ← hub → dst' on the bipartite (hub, authority)
+# graph. Unlike HITS it is provably immune to the TKC effect the
+# paper is named for: a tightly-knit link farm cannot absorb the
+# whole score mass, because SALSA's fixpoint has a CLOSED FORM
+# (paper Prop. 2 / Lemma 2) — no iteration at all:
+#
+#     auth(v) = (|A_C| / |A|) · (indeg(v) / Σ_{u ∈ A_C} indeg(u))
+#     hub(u)  = (|H_C| / |H|) · (outdeg(u) / Σ_{w ∈ H_C} outdeg(w))
+#
+# where C is v's connected component of the BIPARTITE link graph
+# (same components as the authority-side co-citation graph, without
+# materializing the quadratic co-citation edges), A/H the authority/
+# hub sides. So the whole algorithm is: one connected-components run
+# (operators/components.py large-star/small-star, O(log² n) rounds)
+# + two degree aggregations + two per-component aggregations — every
+# shuffle on a key, nothing iterative over scores, nothing quadratic.
+#
+# Determinism contract (same discipline as pagerank/HITS): integer
+# parts-per-billion with the division order fixed and mirrored by the
+# oracle — comp_share = |A_C|·10⁹ div |A| (≤ 10⁹),
+# deg_share = indeg·10⁹ div Σindeg_C (≤ 10⁹),
+# auth_ppb = comp_share·deg_share div 10⁹ (product ≤ 10¹⁸ < int64
+# max, safe at ANY graph size); fail-fast if a degree or side count
+# exceeds 9.2·10⁹ (where x·10⁹ itself would wrap — the same guard
+# family as _check_rank_resolution).
+
+SALSA_SCALE = 1_000_000_000
+_SALSA_MAX_SAFE = (1 << 63) // SALSA_SCALE  # ≈ 9.2e9
+
+
+def _salsa_side(
+    deg: DataFrame, comp: DataFrame, parity: int, out_col: str
+) -> DataFrame:
+    """One side of SALSA: ``deg`` = (node, deg) for the hub (parity 0)
+    or authority (parity 1) side; ``comp`` = bipartite components.
+    Returns (node, out_col) with the closed-form ppb score."""
+    side = deg.join(
+        comp.where(F.col("node") % 2 == parity).select(
+            F.expr("node div 2").alias("node"), "component"
+        ),
+        "node",
+    )
+    tot = side.agg(
+        F.count(F.lit(1)).alias("n_side"), F.max("deg").alias("max_deg")
+    ).first()
+    n_side, max_deg = int(tot["n_side"] or 0), int(tot["max_deg"] or 0)
+    if max(n_side, max_deg) > _SALSA_MAX_SAFE:
+        raise ValueError(
+            f"salsa: side size {n_side} / max degree {max_deg} exceeds "
+            f"{_SALSA_MAX_SAFE}; x*{SALSA_SCALE} would overflow int64"
+        )
+    per_comp = side.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("deg").alias("dsum_c")
+    )
+    return (
+        side.join(per_comp, "component")
+        .select(
+            "node",
+            F.expr(
+                f"(n_c * {SALSA_SCALE} div {max(n_side, 1)})"
+                f" * (deg * {SALSA_SCALE} div dsum_c)"
+                f" div {SALSA_SCALE}"
+            ).alias(out_col),
+        )
+    )
+
+
+def salsa(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(doc_id, salsa_auth_ppb, salsa_hub_ppb): closed-form SALSA over
+    a distinct (src, dst) edge list. ``nodes`` must carry a ``node``
+    column covering every vertex; vertices with no in-links score
+    auth 0, no out-links hub 0 (they are outside the respective
+    chain, per the paper)."""
+    from crawler_spark.operators.components import connected_components
+
+    e = edges.select(
+        F.col(edges.columns[0]).cast("long").alias("src"),
+        F.col(edges.columns[1]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    # bipartite encoding: hub u → 2u, authority v → 2v+1 (disjoint ids)
+    comp = connected_components(
+        e.select(
+            (F.col("src") * 2).alias("id_a"),
+            (F.col("dst") * 2 + 1).alias("id_b"),
+        )
+    ).localCheckpoint()
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    auth = _salsa_side(indeg, comp, 1, "salsa_auth_ppb")
+    hub = _salsa_side(outdeg, comp, 0, "salsa_hub_ppb")
+    return (
+        nodes.select(F.col("node").cast("long").alias("node"))
+        .join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("salsa_auth_ppb", F.lit(0)).cast("long").alias(
+                "salsa_auth_ppb"
+            ),
+            F.coalesce("salsa_hub_ppb", F.lit(0)).cast("long").alias(
+                "salsa_hub_ppb"
+            ),
+        )
+    )
+
+
+def salsa_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: closed-form SALSA over the arithmetic link graph.
+    Driver scalars are bounded: node count + one 2-value total per
+    side (the overflow guard)."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("salsa_auth_ppb"),
+            F.lit(0).cast("long").alias("salsa_hub_ppb"),
+        )
+    return salsa(synth_link_graph(docs, n), nodes)

@@ -3945,3 +3945,56 @@ SELECT doc_id, status, marker_mass,
             WHEN marker_mass >= {SOFT404_MIN_MASS} THEN 'soft404'
             ELSE 'ok' END AS verdict
 FROM mm"""
+
+
+def sql_salsa_scores() -> str:
+    """Twin of operators/linkgraph.salsa: the SAME closed form (Lempel
+    & Moran Prop. 2), with bipartite components via a recursive
+    min-reachability CTE (the declarative twin of the large/small-star
+    contraction) and the identical ppb division order."""
+    from crawler_spark.operators.linkgraph import SALSA_SCALE
+
+    S = SALSA_SCALE
+    return f"""
+WITH RECURSIVE {_link_edges_ctes().lstrip()},
+bip AS (SELECT 2 * src AS u, 2 * dst + 1 AS v FROM e),
+sym AS (SELECT u, v FROM bip UNION SELECT v, u FROM bip),
+reach(u, lbl) AS (
+  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON r.u = s.v
+),
+comp AS (SELECT u, min(lbl) AS component FROM reach GROUP BY u),
+ain AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e GROUP BY dst),
+aout AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e GROUP BY src),
+aside AS (SELECT a.node, a.deg, c.component
+          FROM ain a JOIN comp c ON c.u = 2 * a.node + 1),
+hside AS (SELECT a.node, a.deg, c.component
+          FROM aout a JOIN comp c ON c.u = 2 * a.node),
+atot AS (SELECT CAST(count(*) AS BIGINT) AS n_side FROM aside),
+htot AS (SELECT CAST(count(*) AS BIGINT) AS n_side FROM hside),
+ac AS (SELECT component, CAST(count(*) AS BIGINT) AS n_c,
+              CAST(sum(deg) AS BIGINT) AS dsum_c
+       FROM aside GROUP BY component),
+hc AS (SELECT component, CAST(count(*) AS BIGINT) AS n_c,
+              CAST(sum(deg) AS BIGINT) AS dsum_c
+       FROM hside GROUP BY component),
+ascore AS (
+  SELECT s.node,
+         (c.n_c * {S} // greatest(t.n_side, 1))
+           * (s.deg * {S} // c.dsum_c) // {S} AS salsa_auth_ppb
+  FROM aside s JOIN ac c USING (component), atot t
+),
+hscore AS (
+  SELECT s.node,
+         (c.n_c * {S} // greatest(t.n_side, 1))
+           * (s.deg * {S} // c.dsum_c) // {S} AS salsa_hub_ppb
+  FROM hside s JOIN hc c USING (component), htot t
+)
+SELECT nd.node AS doc_id,
+       CAST(coalesce(a.salsa_auth_ppb, 0) AS BIGINT) AS salsa_auth_ppb,
+       CAST(coalesce(h.salsa_hub_ppb, 0) AS BIGINT) AS salsa_hub_ppb
+FROM nd LEFT JOIN ascore a ON a.node = nd.node
+        LEFT JOIN hscore h ON h.node = nd.node"""
