@@ -1815,6 +1815,18 @@ def _q_salsa_scores(spark, sf_dir):
     return salsa_over_documents(_t(spark, sf_dir, "documents"))
 
 
+def _q_harmonic_centrality(spark, sf_dir):
+    """Harmonic centrality via per-node HyperANF in-balls
+    (operators/linkgraph.harmonic_centrality — Boldi & Vigna, Axioms
+    for Centrality 2014 + HyperANF WWW 2011): Σ 1/d(u,v) in exact
+    milli-units — the axiom-clean seed-selection / frontier-priority
+    score, one register max-merge round per radius over reversed
+    edges, deltas weighted 1/t through a node-partitioned window."""
+    from crawler_spark.operators.linkgraph import harmonic_over_documents
+
+    return harmonic_over_documents(_t(spark, sf_dir, "documents"))
+
+
 def _q_cogroup_probe_unseen(spark, sf_dir):
     """The beyond-broadcast probe path, driver-oracled (it was
     pytest-only through round 4): at 10^10 seen keys the filter tables
@@ -2171,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_equivalence": _q_politeness_equivalence,
         "cogroup_probe_unseen": _q_cogroup_probe_unseen,
         "salsa_scores": _q_salsa_scores,
+        "harmonic_centrality": _q_harmonic_centrality,
         # --- driver-green in round 4 (CORRECTNESS_r04.json) ---
         "sink_roundtrip": _q_sink_roundtrip,
         "robots_rules": _q_robots_rules,
@@ -2465,6 +2478,7 @@ GROUP BY source""",
         "politeness_equivalence": SG.sql_politeness_equivalence(),
         "cogroup_probe_unseen": SG.sql_cogroup_probe_unseen(),
         "salsa_scores": SG.sql_salsa_scores(),
+        "harmonic_centrality": SG.sql_harmonic_centrality(),
         "anchor_terms": SG.sql_anchor_terms(),
         "registrable_rollup": SG.sql_registrable_rollup(),
         "redirect_rollup": SG.sql_redirect_rollup(),

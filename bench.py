@@ -718,7 +718,7 @@ R3_OPS = [
     "hyperanf", "dedup_cascade", "soft404_detect",
     # round-5 additions
     "cuckoo_retract_cycle", "politeness_equivalence", "cogroup_probe_unseen",
-    "salsa_scores",
+    "salsa_scores", "harmonic_centrality",
 ]
 
 

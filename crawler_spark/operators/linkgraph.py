@@ -1046,3 +1046,99 @@ def salsa_over_documents(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("long").alias("salsa_hub_ppb"),
         )
     return salsa(synth_link_graph(docs, n), nodes)
+
+
+# -------------------------------------------------- harmonic centrality --
+#
+# Boldi & Vigna, "Axioms for centrality" (Internet Mathematics 2014,
+# public) single out harmonic centrality H(v) = Σ_{u≠v} 1/d(u, v) as
+# the one classic index satisfying all their axioms, and compute it at
+# web scale with HyperANF balls (WWW 2011) — exactly the machinery
+# above: H(v) = Σ_t (|B_t(v)| − |B_{t−1}(v)|) / t over IN-balls
+# (nodes that reach v), which for a crawler ranks pages by how cheaply
+# the whole web funnels into them — the principled seed-selection /
+# frontier-priority score beside pagerank's random surfer.
+#
+# Determinism contract: the same portable integer HLL as hyperanf;
+# hc_milli(v) = Σ_{t≥1} greatest(Δ_t, 0) · 1000 div t — per-term
+# truncating division mirrored by the oracle; Δ clamped at 0 because
+# the LC→raw estimator switch can dip a per-node estimate by one even
+# as the register set grows. Max value n·1000 — int64-safe at any
+# crawl size.
+#
+# Scale shape: identical to hyperanf (|E|·m fan-out per round,
+# map-side max-merge, lineage truncated per round), plus ONE window
+# partitioned by node (never global) for the per-node delta series —
+# ≤ rounds+1 rows per partition key.
+
+HC_SCALE = 1_000
+
+
+def harmonic_centrality(
+    edges: DataFrame, nodes: DataFrame, rounds: int = ANF_ROUNDS
+) -> DataFrame:
+    """(doc_id, hc_milli): harmonic centrality in exact milli-units,
+    per-node HyperANF in-ball deltas weighted 1/t."""
+    from pyspark.sql import Window
+
+    from crawler_spark.operators.hll import hll_estimate, hll_registers
+
+    # reversed edges: the loop grows OUT-balls, so reversing makes
+    # regs(v) accumulate the nodes that REACH v
+    e = edges.select(
+        F.col(edges.columns[1]).cast("long").alias("src"),
+        F.col(edges.columns[0]).cast("long").alias("dst"),
+    ).localCheckpoint()
+    keyed = nodes.select(
+        F.col("node").cast("long").alias("grp"),
+        F.col("node").cast("string").alias("value"),
+    )
+    regs = hll_registers(keyed, "grp", "value").localCheckpoint()
+    hist = hll_estimate(regs).select("grp", F.lit(0).cast("int").alias("t"), "est")
+    for t in range(1, rounds + 1):
+        nbr = e.join(regs.withColumnRenamed("grp", "dst"), "dst").select(
+            F.col("src").alias("grp"), "bucket", "rho"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("grp", "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        hist = hist.unionByName(
+            hll_estimate(regs).select(
+                "grp", F.lit(t).cast("int").alias("t"), "est"
+            )
+        )
+    w = Window.partitionBy("grp").orderBy("t")
+    hc = (
+        hist.withColumn("d", F.col("est") - F.lag("est").over(w))
+        .where(F.col("t") >= 1)
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                F.expr(f"greatest(d, 0L) * {HC_SCALE} div t")
+            ).alias("hc_milli")
+        )
+    )
+    return (
+        nodes.select(F.col("node").cast("long").alias("node"))
+        .join(hc, F.col("node") == F.col("grp"), "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("hc_milli", F.lit(0)).cast("long").alias("hc_milli"),
+        )
+    )
+
+
+def harmonic_over_documents(docs: DataFrame) -> DataFrame:
+    """Driver query: harmonic centrality of the arithmetic link graph.
+    One bounded driver scalar (node count)."""
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").cast("long").alias("node"))
+    if n == 0:
+        return nodes.select(
+            F.col("node").alias("doc_id"),
+            F.lit(0).cast("long").alias("hc_milli"),
+        )
+    return harmonic_centrality(synth_link_graph(docs, n), nodes)

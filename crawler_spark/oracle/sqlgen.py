@@ -3998,3 +3998,75 @@ SELECT nd.node AS doc_id,
        CAST(coalesce(h.salsa_hub_ppb, 0) AS BIGINT) AS salsa_hub_ppb
 FROM nd LEFT JOIN ascore a ON a.node = nd.node
         LEFT JOIN hscore h ON h.node = nd.node"""
+
+
+def sql_harmonic_centrality() -> str:
+    """Twin of operators/linkgraph.harmonic_centrality: the hyperanf
+    register recursion (identical portable-HLL arithmetic to
+    sql_hyperanf) run over REVERSED edges, kept per node, with the
+    same clamped per-term truncating 1/t weighting."""
+    from crawler_spark.operators.hll import (
+        HLL_ALPHA_PM,
+        HLL_M,
+        HLL_RHO_CAP,
+        LC_RAW_MAX,
+        LC_TABLE,
+    )
+    from crawler_spark.operators.linkgraph import ANF_ROUNDS, HC_SCALE
+
+    m, cap = HLL_M, HLL_RHO_CAP
+    lc = "[" + ", ".join(str(x) for x in LC_TABLE) + "]"
+
+    def fold(reg: str, t: int) -> str:
+        return f"""
+s{t} AS (SELECT grp,
+             CAST(sum(CAST(1 AS BIGINT) << ({cap} - rho)) AS BIGINT) AS sp,
+             CAST(count(*) AS BIGINT) AS present
+      FROM {reg} GROUP BY grp),
+raw{t} AS (SELECT grp, {m} - present AS zeros,
+               (CAST({HLL_ALPHA_PM} AS BIGINT) * {m} * {m}
+                * (CAST(1 AS BIGINT) << {cap}))
+               // (1000 * (sp + ({m} - present)
+                                * (CAST(1 AS BIGINT) << {cap}))) AS raw
+        FROM s{t}),
+est{t} AS (SELECT grp,
+               CASE WHEN zeros > 0 AND raw <= {LC_RAW_MAX}
+                    THEN CAST(({lc})[zeros] AS BIGINT)
+                    ELSE raw END AS est
+        FROM raw{t})"""
+
+    parts = [fold("reg0", 0)]
+    for t in range(1, ANF_ROUNDS + 1):
+        parts.append(f"""
+reg{t} AS (
+  SELECT grp, bucket, max(rho) AS rho FROM (
+    SELECT grp, bucket, rho FROM reg{t - 1}
+    UNION ALL
+    SELECT re.src AS grp, r.bucket, r.rho
+    FROM re JOIN reg{t - 1} r ON r.grp = re.dst
+  ) GROUP BY grp, bucket
+)""")
+        parts.append(fold(f"reg{t}", t))
+    terms = " + ".join(
+        f"greatest(e{t}.est - e{t - 1}.est, 0) * {HC_SCALE} // {t}"
+        for t in range(1, ANF_ROUNDS + 1)
+    )
+    est_joins = "\n  ".join(
+        f"JOIN est{t} e{t} ON e{t}.grp = nd.node"
+        for t in range(ANF_ROUNDS + 1)
+    )
+    return f"""
+WITH {_link_edges_ctes()},
+re AS (SELECT dst AS src, src AS dst FROM e),
+h0 AS (SELECT node AS grp,
+              {sql_h64("'hll:' || CAST(node AS VARCHAR)")} AS h
+       FROM nd),
+reg0 AS (
+  SELECT grp, h % {m} AS bucket,
+         LEAST(CASE WHEN h // {m} = 0 THEN 53
+                    ELSE 53 - length(bin(h // {m})) END, {cap}) AS rho
+  FROM h0 GROUP BY 1, 2, 3
+),{",".join(parts)}
+SELECT nd.node AS doc_id, CAST({terms} AS BIGINT) AS hc_milli
+FROM nd
+  {est_joins}"""
