@@ -109,3 +109,26 @@ def test_harmonic_matches_python_twin_on_synth_graph(spark):
 def test_harmonic_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert harmonic_over_documents(docs).count() == 0
+
+
+def test_harmonic_matches_twin_on_random_graphs(spark):
+    """Seeded random digraphs (chains + islands) against the exact-BFS
+    + portable-HLL pure-Python twin."""
+    import random
+
+    rng = random.Random(777)
+    edges = set()
+    n = 40
+    for a in range(n):
+        for _ in range(rng.randint(0, 3)):
+            b = rng.randrange(n)
+            if b != a:
+                edges.add((a, b))
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    nodes = spark.range(n).selectExpr("id AS node")
+    expected = _py_harmonic(sorted(edges), n, ANF_ROUNDS)
+    got = {
+        r["doc_id"]: r["hc_milli"]
+        for r in harmonic_centrality(e, nodes, rounds=ANF_ROUNDS).collect()
+    }
+    assert got == expected

@@ -113,3 +113,29 @@ def test_salsa_two_components_closed_form(spark):
 def test_salsa_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert salsa_over_documents(docs).count() == 0
+
+
+def test_salsa_matches_twin_on_random_graphs(spark):
+    """Seeded random digraphs with several disjoint components — the
+    regime where the closed form's component shares matter most."""
+    import random
+
+    rng = random.Random(4242)
+    edges = []
+    n = 90
+    for g in range(6):  # 6 islands of 15 ids each
+        base = g * 15
+        ids = [base + i for i in range(15)]
+        for a in ids:
+            for b in ids:
+                if a != b and rng.random() < 0.18:
+                    edges.append((a, b))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.range(n).selectExpr("id AS node")
+    auth, hub = _py_salsa(sorted(set(edges)), n)
+    got = {
+        r["doc_id"]: (r["salsa_auth_ppb"], r["salsa_hub_ppb"])
+        for r in salsa(e, nodes).collect()
+    }
+    for v in range(n):
+        assert got[v] == (auth[v], hub[v]), v
