@@ -1719,6 +1719,22 @@ def _q_robots_sitemaps(spark, sf_dir):
     )
 
 
+def _synth_source_urls(spark, sf_dir):
+    """(doc_id, source, surt) synthetic URL universe shared by the
+    cuckoo/cogroup probe queries. Their DuckDB twins re-derive the
+    same 'https://' || source || '.example.com/doc/' || doc_id shape
+    closed-form, so the format must stay byte-identical across all of
+    them — hence ONE definition."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("surt"),
+    )
+
+
 def _q_cuckoo_unseen(spark, sf_dir):
     """Cuckoo-filter URL-seen (operators/cuckoo.py — the north rule's
     'bloom/cuckoo' second form): build the partitioned filter over the
@@ -1732,14 +1748,7 @@ def _q_cuckoo_unseen(spark, sf_dir):
         filter_unseen_cuckoo,
     )
 
-    urls = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.lit("https://"), "source", F.lit(".example.com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("surt"),
-    )
+    urls = _synth_source_urls(spark, sf_dir)
     ever = urls.where(F.col("doc_id") % 3 != 0)
     retracted = ever.where(F.col("doc_id") % 9 == 1)
     seen = ever.where(F.col("doc_id") % 9 != 1)
@@ -1765,14 +1774,7 @@ def _q_cuckoo_retract_cycle(spark, sf_dir):
         update_cuckoo,
     )
 
-    urls = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.lit("https://"), "source", F.lit(".example.com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("surt"),
-    )
+    urls = _synth_source_urls(spark, sf_dir)
     ever = urls.where(F.col("doc_id") % 3 != 0)
     retracted = ever.where(F.col("doc_id") % 9 == 1)
     readmit = retracted.where(F.col("doc_id") % 18 == 1)
@@ -1843,14 +1845,7 @@ def _q_cogroup_probe_unseen(spark, sf_dir):
     from crawler_spark.operators.cuckoo import build_cuckoo, probe_cuckoo
     from crawler_spark.operators.dedup import filter_unseen_pruned
 
-    urls = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.lit("https://"), "source", F.lit(".example.com/doc/"),
-            F.col("doc_id").cast("string"),
-        ).alias("surt"),
-    )
+    urls = _synth_source_urls(spark, sf_dir)
     seen = urls.where(F.col("doc_id") % 4 != 0)
     seen_b = seen.withColumn("bucket", bucket_of("surt"))
     res = filter_unseen_pruned(
@@ -1863,7 +1858,13 @@ def _q_cogroup_probe_unseen(spark, sf_dir):
     )
     res.probed.unpersist()
 
-    probed = probe_cuckoo(urls, build_cuckoo(seen.select("surt")))
+    # localCheckpoint: BOTH union branches read the cogrouped probe —
+    # without it the applyInPandas probe (and the filter build inside
+    # it) would execute twice per action, the exact double-execution
+    # filter_unseen_pruned's own persist of `probed` prevents
+    probed = probe_cuckoo(
+        urls, build_cuckoo(seen.select("surt"))
+    ).localCheckpoint()
     unseen_c = probed.where(~F.col("_maybe_seen")).drop("_maybe_seen").unionByName(
         probed.where(F.col("_maybe_seen"))
         .drop("_maybe_seen")

@@ -629,14 +629,16 @@ def _reach_fixpoint(e: DataFrame, seed: DataFrame, frm: str, to: str) -> DataFra
     visited set only grows, so count equality IS the fixpoint.
 
     Fail-fast: if the visited set is still growing after
-    BOWTIE_MAX_ITER rounds the fixpoint was NOT reached (graph
-    eccentricity from the pivot exceeds the cap) and a silent return
-    would under-compute reach and mislabel regions vs the unbounded
-    recursive-CTE oracle — raise instead, same discipline as
-    _check_rank_resolution."""
+    BOWTIE_MAX_ITER expansion rounds the fixpoint was NOT reached
+    (graph eccentricity from the pivot exceeds the cap) and a silent
+    return would under-compute reach and mislabel regions vs the
+    unbounded recursive-CTE oracle — raise instead, same discipline as
+    _check_rank_resolution. Growth ON the final round is not by itself
+    divergence (eccentricity exactly equal to the cap completes there),
+    so one extra confirming probe round runs before raising."""
     visited = seed.select(F.col("node").cast("long").alias("node")).localCheckpoint()
     n = visited.count()
-    for _ in range(BOWTIE_MAX_ITER):
+    for _ in range(BOWTIE_MAX_ITER + 1):
         new = e.join(
             visited.withColumnRenamed("node", frm), frm
         ).select(F.col(to).alias("node"))

@@ -40,15 +40,18 @@ def distributed_rank(
     """Return ``df`` with ``rank_col`` = 1-based global row_number in
     ``order``, computed without an unpartitioned WindowExec."""
     spark = df.sparkSession
+    clash = {c for c in df.columns if c in ("__rd_pid", "__rd_lrn", "__rd_off")}
+    if clash:
+        raise ValueError(f"distributed_rank internal column clash: {clash}")
     parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+        "__rd_pid", F.spark_partition_id()
     )
-    local = Window.partitionBy("_pid").orderBy(*order)
-    ranked = ranged.withColumn("_lrn", F.row_number().over(local)).localCheckpoint()
+    local = Window.partitionBy("__rd_pid").orderBy(*order)
+    ranked = ranged.withColumn("__rd_lrn", F.row_number().over(local)).localCheckpoint()
     sizes = sorted(
-        (r["_pid"], r["n"])
-        for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        (r["__rd_pid"], r["n"])
+        for r in ranked.groupBy("__rd_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
     offsets, acc = [], 0
     for pid, n in sizes:
@@ -56,9 +59,9 @@ def distributed_rank(
         acc += n
     if not offsets:
         return df.withColumn(rank_col, F.lit(None).cast("long")).where(F.lit(False))
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    off_df = spark.createDataFrame(offsets, "__rd_pid int, __rd_off long")
     return (
-        ranked.join(F.broadcast(off_df), "_pid")
-        .withColumn(rank_col, (F.col("_off") + F.col("_lrn")).cast("long"))
-        .drop("_pid", "_lrn", "_off")
+        ranked.join(F.broadcast(off_df), "__rd_pid")
+        .withColumn(rank_col, (F.col("__rd_off") + F.col("__rd_lrn")).cast("long"))
+        .drop("__rd_pid", "__rd_lrn", "__rd_off")
     )

@@ -34,24 +34,17 @@ def test_matches_global_window(spark):
 
 @pytest.mark.spark
 def test_no_unpartitioned_window_in_plan(spark):
+    # shares the detector with the registry-wide lock so a plan-string
+    # format change (e.g. a Spark upgrade) only has one parser to fix
+    from tests.test_plan_quality import _unpartitioned_windows
+
     df = spark.range(0, 100).select(
         F.col("id").alias("w"), (F.col("id") % 5).alias("cnt")
     )
     ranked = distributed_rank(df, [F.desc("cnt"), F.col("w")], "r")
     plan = ranked._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if "Window [" not in line:
-            continue
-        depth = 0
-        groups = 0
-        for ch in line:
-            if ch == "[":
-                if depth == 0:
-                    groups += 1
-                depth += 1
-            elif ch == "]":
-                depth -= 1
-        assert groups != 2, f"unpartitioned window leaked into plan: {line}"
+    wins = _unpartitioned_windows(plan.splitlines())
+    assert not wins, f"unpartitioned window leaked into plan: {wins}"
 
 
 @pytest.mark.spark

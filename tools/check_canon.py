@@ -65,9 +65,19 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = E.queries(), E.oracle_sql()
-    keys = list(qs)[: first_n or len(qs)]
     if only:
-        keys = [k for k in keys if k in only]
+        # explicitly-named queries bypass the first_n window — a name
+        # outside the window must be checked, not silently skipped
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        keys = [k for k in qs if k in only]
+    else:
+        keys = list(qs)[: first_n or len(qs)]
+    if not keys:
+        print("no queries selected")
+        return 2
 
     bad = 0
     for k in keys:
