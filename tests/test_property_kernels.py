@@ -76,3 +76,61 @@ def test_mix_split_arithmetic_matches_bigint(budget, weight_ppm, n_tokens):
         *unshifted,
     ):
         assert -(2**63) <= v < 2**63
+
+
+# ------------------------------------------------------------------ SALSA --
+#
+# The closed form's two THEOREM-level properties, swept over arbitrary
+# digraphs (the Spark operator is separately differential-tested against
+# this same twin in tests/test_salsa.py, so the chain is: invariants →
+# twin → operator → DuckDB oracle).
+
+from crawler_spark.operators.linkgraph import SALSA_SCALE
+from tests.test_salsa import _py_salsa
+
+_EDGE = st.tuples(
+    st.integers(min_value=0, max_value=24), st.integers(min_value=0, max_value=24)
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_EDGE, min_size=0, max_size=120))
+def test_salsa_mass_conservation_and_tkc_cap(pairs):
+    edges = sorted({(a, b) for a, b in pairs if a != b})
+    n = 25
+    auth, hub = _py_salsa(edges, n)
+    for scores, deg_nodes in (
+        (auth, {v for _, v in edges}),
+        (hub, {u for u, _ in edges}),
+    ):
+        assert all(s >= 0 for s in scores.values())
+        total = sum(scores.values())
+        # L1 mass: Σ = SCALE minus ≤3 truncating divisions per scored node
+        if deg_nodes:
+            assert SALSA_SCALE - 4 * len(deg_nodes) <= total <= SALSA_SCALE
+        else:
+            assert total == 0
+    if not edges:
+        return
+    # TKC cap (the anti-link-farm theorem): a component's total authority
+    # mass never exceeds its share of the authority side
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ra, rb = find(2 * u), find(2 * v + 1)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    auths = {v for _, v in edges}
+    by_comp: dict[int, list[int]] = {}
+    for v in auths:
+        by_comp.setdefault(find(2 * v + 1), []).append(v)
+    for members in by_comp.values():
+        comp_share = len(members) * SALSA_SCALE // len(auths)
+        assert sum(auth[v] for v in members) <= comp_share
